@@ -1,0 +1,108 @@
+"""Inverse-rendering optimization loop: fit a SoftGrid (voxel densities +
+colors) and optionally the camera pose to target images.
+
+This is new capability relative to the reference (which has no training,
+SURVEY.md §1) but normative for the rebuild (BASELINE.json configs 4-5).
+Idiomatic TPU shape: one jitted ``step`` closed over static config, scanned
+from Python; donated carry so grid + optimizer state stay HBM-resident.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vxtpu.camera.camera import Camera
+from vxtpu.camera.rays import generate_rays
+from vxtpu.render.settings import RenderSettings
+from vxtpu.render.soft import SoftGrid, render_soft_rays
+from vxtpu.train.loss import mse, tv_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 5e-2
+    steps: int = 200
+    num_samples: int = 128          # ray samples for the soft renderer
+    tv_sigma: float = 1e-4          # TV regularizer weight on densities
+    tv_rgb: float = 1e-5
+    ray_batch: int = 0              # 0 = all rays every step; else minibatch
+    optimize_camera: bool = False
+    cam_lr: float = 1e-3
+    seed: int = 0
+
+
+def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
+             settings: RenderSettings, cfg: TrainConfig):
+    """target is always flat [N,3]. When optimizing the camera the rays are
+    regenerated from the current pose (full image; hw = (H, W)) so pose
+    gradients flow through ray generation."""
+    if cfg.optimize_camera:
+        o, d = generate_rays(cam, *hw)
+    pred, _ = render_soft_rays(soft, o, d, settings, cfg.num_samples)
+    loss = mse(pred, target)
+    if cfg.tv_sigma:
+        loss = loss + cfg.tv_sigma * tv_loss(soft.sigma_raw)
+    if cfg.tv_rgb:
+        loss = loss + cfg.tv_rgb * tv_loss(soft.rgb_raw)
+    return loss
+
+
+def fit_soft(soft: SoftGrid, cam: Camera, target_img: jax.Array,
+             settings: RenderSettings, cfg: TrainConfig,
+             log_fn: Callable[[int, float], None] | None = None):
+    """Optimize soft-grid (and optionally camera pose) to match target_img
+    [H,W,3] seen from cam. Returns (soft', cam', losses [steps])."""
+    H, W = target_img.shape[:2]
+    o, d = generate_rays(cam, H, W)
+    target = target_img.reshape(-1, 3)
+    minibatched = bool(cfg.ray_batch) and cfg.ray_batch < o.shape[0]
+    if cfg.optimize_camera and minibatched:
+        raise ValueError("optimize_camera requires full-image steps (ray_batch=0)")
+
+    if cfg.optimize_camera:
+        params = (soft, cam)
+        opt = optax.multi_transform(
+            {"soft": optax.adam(cfg.lr), "cam": optax.adam(cfg.cam_lr)},
+            ("soft", "cam"),
+        )
+    else:
+        params = soft
+        opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, o_b, d_b, tgt_b):
+        def lf(p):
+            s, c = p if cfg.optimize_camera else (p, cam)
+            return _loss_fn(s, c, o_b, d_b, tgt_b, (H, W), settings, cfg)
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    losses = []
+    key = jax.random.PRNGKey(cfg.seed)
+    n = o.shape[0]
+    for i in range(cfg.steps):
+        if minibatched:
+            key, k = jax.random.split(key)
+            idx = jax.random.randint(k, (cfg.ray_batch,), 0, n)
+            o_b, d_b, t_b = o[idx], d[idx], target[idx]
+        else:
+            o_b, d_b, t_b = o, d, target
+        params, opt_state, loss = step(params, opt_state, o_b, d_b, t_b)
+        losses.append(loss)
+        if log_fn is not None and (i % 20 == 0 or i == cfg.steps - 1):
+            log_fn(i, float(loss))
+    losses = [float(l) for l in losses]
+    if cfg.optimize_camera:
+        soft_out, cam_out = params
+    else:
+        soft_out, cam_out = params, cam
+    return soft_out, cam_out, losses
