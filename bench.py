@@ -1,0 +1,75 @@
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): Mrays/s/chip at 512³ grid, 1080p forward render.
+vs_baseline is measured against the 124 Mrays/s sustained target
+(1920×1080 @ 60 fps ≈ 124 M primary rays/s on one v5e chip).
+
+Runs on whatever jax.devices() provides (the axon-tunneled TPU chip under
+the driver). Timing note: on the axon platform block_until_ready can return
+at enqueue, so we time a dependency-CHAINED sequence of frames (each frame's
+camera derives from a scalar of the previous frame's output), which forces
+real sequential execution.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+TARGET_MRAYS = 124.0
+
+
+def main():
+    from vxtpu.engine.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vxtpu.camera.camera import Camera
+    from vxtpu.render.kernel_xla import make_march_xla
+    from vxtpu.render.pipeline import render_image
+    from vxtpu.render.settings import RenderSettings
+    from vxtpu.world import procgen
+    from vxtpu.world.lights import Lights
+    from vxtpu.world.pyramid import build_pyramid
+
+    dims = (512, 512, 512)
+    H, W = 1080, 1920
+    grid = procgen.terrain(dims, seed=7)
+    pyr = build_pyramid(grid.occupancy, 3)
+    settings = RenderSettings(shading="lambert", pyramid_levels=3)
+    lights = Lights.single((100.0, -150.0, 700.0), intensity=2.0)
+    base_cam = Camera.make(pos=(-360.0, 256.0, 560.0), fov_y_deg=55.0).look_at(
+        (256.0, 256.0, 140.0)
+    )
+
+    @jax.jit
+    def frame(eps):
+        cam = base_cam.replace(yaw=base_cam.yaw + eps * 1e-6)
+        img = render_image(make_march_xla, grid, cam, lights, settings, H, W, pyr)
+        return img, jnp.mean(img)
+
+    # warmup/compile
+    img, dep = frame(jnp.float32(0.0))
+    jax.block_until_ready(img)
+
+    n = 4
+    t0 = time.perf_counter()
+    for _ in range(n):
+        img, dep = frame(dep)  # dependency chain forces sequential frames
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / n
+
+    mrays = H * W / dt / 1e6
+    print(json.dumps({
+        "metric": "Mrays/s/chip @ 512^3 grid, 1080p forward",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

