@@ -31,34 +31,36 @@ def main():
     from vxtpu.render.kernel_xla import make_march_xla
     from vxtpu.render.pipeline import render_image
     from vxtpu.render.settings import RenderSettings
-    from vxtpu.world import procgen
+    from vxtpu.world import distfield, procgen
     from vxtpu.world.lights import Lights
-    from vxtpu.world.pyramid import build_pyramid
 
     dims = (512, 512, 512)
     H, W = 1080, 1920
     grid = procgen.terrain(dims, seed=7)
-    pyr = build_pyramid(grid.occupancy, 3)
-    settings = RenderSettings(shading="lambert", pyramid_levels=3)
+    accel = distfield.build(grid.occupancy, cap=24)
+    settings = RenderSettings(shading="lambert")
     lights = Lights.single((100.0, -150.0, 700.0), intensity=2.0)
     base_cam = Camera.make(pos=(-360.0, 256.0, 560.0), fov_y_deg=55.0).look_at(
         (256.0, 256.0, 140.0)
     )
 
+    # NOTE: world arrays are jit *arguments*, never closure constants — a
+    # closed-over 134 MB occupancy would be inlined into the MLIR payload
+    # (axon remote-compile rejects >~100 MB bodies with HTTP 413).
     @jax.jit
-    def frame(eps):
+    def frame(g, acc, eps):
         cam = base_cam.replace(yaw=base_cam.yaw + eps * 1e-6)
-        img = render_image(make_march_xla, grid, cam, lights, settings, H, W, pyr)
+        img = render_image(make_march_xla, g, cam, lights, settings, H, W, acc)
         return img, jnp.mean(img)
 
     # warmup/compile
-    img, dep = frame(jnp.float32(0.0))
+    img, dep = frame(grid, accel, jnp.float32(0.0))
     jax.block_until_ready(img)
 
     n = 4
     t0 = time.perf_counter()
     for _ in range(n):
-        img, dep = frame(dep)  # dependency chain forces sequential frames
+        img, dep = frame(grid, accel, dep)  # dependency chain forces sequential frames
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / n
 

@@ -64,6 +64,12 @@ def platform_info() -> PlatformInfo:
     )
 
 
+def platform_report() -> dict:
+    """JSON-friendly platform summary for the CLI ``info`` subcommand."""
+    info = platform_info()
+    return dataclasses.asdict(info)
+
+
 def validate_platform(scene_tree=None, mesh_devices: int | None = None,
                       hbm_headroom: float = 0.75) -> PlatformInfo:
     """Fail fast before any compile: scene must fit one chip's HBM (the

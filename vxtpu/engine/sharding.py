@@ -62,9 +62,10 @@ def _pad_rays(o, d, n_shards):
 
 
 def render_image_sharded(march_factory, grid, cam: Camera, lights, settings,
-                         height: int, width: int, mesh: Mesh, pyramid=None):
+                         height: int, width: int, mesh: Mesh, accel=None):
     """[H,W,3] frame with rays sharded over the mesh; grid replicated.
 
+    accel: OccupancyPyramid / DistanceField / None — replicated like the grid.
     Bit-for-bit the same math as pipeline.render_image — sharding parity is
     tested on an 8-device CPU mesh (tests/test_sharding.py).
     """
@@ -72,32 +73,29 @@ def render_image_sharded(march_factory, grid, cam: Camera, lights, settings,
 
     dims = grid.dims
     occ_flat = grid.occupancy.reshape(-1)
-    albedo = grid.albedo_flat()
+    albedo = grid.albedo()
     n_shards = mesh.devices.size
     o, d = generate_rays(cam, height, width)
     o, d, n_real = _pad_rays(o, d, n_shards)
 
+    accel_leaves, accel_tree = jax.tree_util.tree_flatten(accel)
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P(), *( (P(),) * len(jax.tree_util.tree_leaves(pyramid)) if pyramid is not None else () )),
+        # P() is a valid pytree-prefix spec: albedo (an Albedo pytree) and
+        # every accel leaf are replicated; only the ray axis is sharded.
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P(), *((P(),) * len(accel_leaves))),
         out_specs=P(RAY_AXIS),
         check_vma=False,  # jax 0.9 vma tracking rejects unvarying loop-carry init
     )
-    def _render_shard(o_s, d_s, occ_s, albedo_s, *pyr_leaves):
-        pyr = (
-            jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(pyramid), pyr_leaves
-            )
-            if pyramid is not None
-            else None
-        )
-        march = march_factory(occ_s, dims, settings, pyr)
+    def _render_shard(o_s, d_s, occ_s, albedo_s, *accel_s):
+        acc = jax.tree_util.tree_unflatten(accel_tree, accel_s)
+        march = march_factory(occ_s, dims, settings, acc)
         rgb, _ = render_rays(march, o_s, d_s, albedo_s, dims, lights, settings)
         return rgb
 
-    pyr_leaves = tuple(jax.tree_util.tree_leaves(pyramid)) if pyramid is not None else ()
-    rgb = _render_shard(o, d, occ_flat, albedo, *pyr_leaves)
+    rgb = _render_shard(o, d, occ_flat, albedo, *accel_leaves)
     return rgb[:n_real].reshape(height, width, 3)
 
 

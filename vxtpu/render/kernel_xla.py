@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from vxtpu.render import dda
 from vxtpu.render.types import HitRecord
 from vxtpu.utils import safe_inverse
+from vxtpu.world.distfield import DistanceField, distfield_fetch
 from vxtpu.world.grid import in_bounds, linear_index
 from vxtpu.world.pyramid import OccupancyPyramid, pyramid_lookup
 
@@ -189,11 +190,126 @@ def march_xla(o: jax.Array, d: jax.Array, occ_flat: jax.Array,
     )
 
 
-def make_march_xla(occ_flat, dims, settings, pyramid=None):
-    """Pipeline march-factory. Honors settings.pyramid_levels (a pyramid is
-    only used if provided AND levels > 0)."""
+def march_xla_df(o: jax.Array, d: jax.Array, df_flat: jax.Array,
+                 dims: tuple[int, int, int], max_steps: int,
+                 step_chunk: int = 32,
+                 t_max: jax.Array | None = None) -> HitRecord:
+    """Distance-field march: ONE gather per step yields both the hit test
+    (field == 0 means solid) and the safe empty-space jump radius
+    (world/distfield.py). Hit-equivalent to march_ref / march_xla: jumps
+    only ever cross provably-empty voxels, so the visited-surface sequence
+    and hit t/normal match the plain DDA to fp tolerance."""
+    n = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((n,), BIG_T, dtype=o.dtype)
+    t_enter, t_exit, valid = dda.ray_grid_clip(o, d, dims)
+    t_end = jnp.minimum(t_exit, t_max)
+    inv_d = safe_inverse(d)
+
+    v0, t_next0, t_delta, step = dda.dda_init(o, d, t_enter, dims)
+    df0 = distfield_fetch(df_flat, v0, dims)
+    first_hit = valid & (df0 == 0) & (t_enter <= t_max)
+    entry_mask = dda.entry_face_mask(o, d, dims)
+    n0 = jnp.where(entry_mask, -jnp.sign(d), 0.0).astype(jnp.float32)
+
+    state = dict(
+        v=v0,
+        t_next=t_next0,
+        dist=df0,
+        hit=first_hit,
+        t_hit=jnp.where(first_hit, t_enter, BIG_T),
+        normal=jnp.where(first_hit[..., None], n0, 0.0),
+        steps=jnp.zeros((n,), jnp.int32),
+        done=first_hit | ~valid,
+    )
+
+    def one_step(s):
+        active = ~s["done"]
+
+        # fine DDA step (always computed; used when dist <= 1)
+        v_f, t_next_f, t_cross_f, mask_f = dda.dda_advance(
+            s["v"], s["t_next"], t_delta, step
+        )
+
+        # empty-space jump: everything in the L_inf ball of radius dist-1
+        # around v is empty -> jump to the exit of the world-space box
+        # [v - (dist-1), v + dist].
+        r = (s["dist"].astype(jnp.int32) - 1).astype(jnp.float32)[..., None]
+        vf32 = s["v"].astype(jnp.float32)
+        bound = jnp.where(d >= 0, vf32 + r + 1.0, vf32 - r)
+        t_ax = (bound - o) * inv_d
+        t_ax = jnp.where(jnp.abs(d) < 1e-12, jnp.full_like(t_ax, 3.0e30), t_ax)
+        t_jump = jnp.min(t_ax, axis=-1)
+        mask_j = dda.dda_step_mask(t_ax)
+        v_j, t_next_j, _, _ = dda.dda_init(o, d, t_jump, dims)
+        # Progress guard: fp rounding could re-init inside the same voxel.
+        stuck = jnp.all(v_j == s["v"], axis=-1)
+        do_jump = active & (s["dist"] > 1) & ~stuck
+
+        v_new = jnp.where(do_jump[..., None], v_j, v_f)
+        t_next_new = jnp.where(do_jump[..., None], t_next_j, t_next_f)
+        t_cross = jnp.where(do_jump, t_jump, t_cross_f)
+        mask = jnp.where(do_jump[..., None], mask_j, mask_f)
+
+        inside = in_bounds(v_new, dims)
+        past_end = t_cross > t_end
+        dfv = distfield_fetch(df_flat, v_new, dims)     # the ONE gather
+        new_hit = active & inside & ~past_end & (dfv == 0)
+        newly_done = new_hit | (active & (~inside | past_end))
+
+        upd = active
+        sel = lambda c, a, b: jnp.where(c, a, b)
+        return dict(
+            v=sel(upd[..., None], v_new, s["v"]),
+            t_next=sel(upd[..., None], t_next_new, s["t_next"]),
+            dist=sel(upd, dfv, s["dist"]),
+            hit=s["hit"] | new_hit,
+            t_hit=sel(new_hit, t_cross, s["t_hit"]),
+            normal=sel(
+                new_hit[..., None],
+                jnp.where(mask, -step, 0).astype(jnp.float32),
+                s["normal"],
+            ),
+            steps=s["steps"] + upd.astype(jnp.int32),
+            done=s["done"] | newly_done,
+        )
+
+    num_chunks = -(-max_steps // step_chunk)
+
+    def cond(carry):
+        s, ci = carry
+        return (~jnp.all(s["done"])) & (ci < num_chunks)
+
+    def body(carry):
+        s, ci = carry
+        s = jax.lax.fori_loop(0, step_chunk, lambda i, s2: one_step(s2), s)
+        return s, ci + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+
+    return HitRecord(
+        hit=state["hit"],
+        t=state["t_hit"],
+        voxel=state["v"],
+        normal=state["normal"],
+        steps=state["steps"],
+    )
+
+
+def make_march_xla(occ_flat, dims, settings, accel=None):
+    """Pipeline march-factory. ``accel`` selects the empty-space skip:
+    a DistanceField (fastest; one gather/step), an OccupancyPyramid
+    (honoring settings.pyramid_levels), or None (plain fine DDA)."""
     max_steps = settings.resolve_max_steps(dims)
-    pyr = pyramid if (pyramid is not None and settings.pyramid_levels > 0) else None
+    if isinstance(accel, DistanceField):
+        return functools.partial(
+            march_xla_df,
+            df_flat=accel.field.reshape(-1),
+            dims=dims,
+            max_steps=max_steps,
+            step_chunk=settings.step_chunk,
+        )
+    pyr = accel if (accel is not None and settings.pyramid_levels > 0) else None
     return functools.partial(
         march_xla,
         occ_flat=occ_flat,

@@ -42,26 +42,27 @@ def shadow_visibility(march, rec, o, d, lights: Lights):
     return jnp.stack(vis_cols, axis=-1)
 
 
-def render_rays(march, o, d, albedo_flat, dims, lights: Lights,
+def render_rays(march, o, d, albedo_src, dims, lights: Lights,
                 settings: RenderSettings):
     """Rays [N,3] -> rgb [N,3] via the given march closure."""
     rec = march(o, d)
     vis = None
     if settings.shadows and settings.shading != "flat" and lights.count > 0:
         vis = shadow_visibility(march, rec, o, d, lights)
-    return shade(rec, o, d, albedo_flat, dims, lights, settings, shadow_vis=vis), rec
+    return shade(rec, o, d, albedo_src, dims, lights, settings, shadow_vis=vis), rec
 
 
 def render_image(march_factory, grid: VoxelGrid, cam: Camera, lights: Lights,
                  settings: RenderSettings, height: int, width: int,
-                 pyramid=None) -> jax.Array:
+                 accel=None) -> jax.Array:
     """Full frame: [H, W, 3] float32 in [0,1].
 
-    march_factory(occ_flat, dims, settings, pyramid) -> march closure.
+    march_factory(occ_flat, dims, settings, accel) -> march closure;
+    accel is an OccupancyPyramid, a DistanceField, or None.
     """
     dims = grid.dims
     occ_flat = grid.occupancy.reshape(-1)
-    march = march_factory(occ_flat, dims, settings, pyramid)
+    march = march_factory(occ_flat, dims, settings, accel)
     o, d = generate_rays(cam, height, width)
-    rgb, _ = render_rays(march, o, d, grid.albedo_flat(), dims, lights, settings)
+    rgb, _ = render_rays(march, o, d, grid.albedo(), dims, lights, settings)
     return rgb.reshape(height, width, 3)

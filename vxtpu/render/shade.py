@@ -70,11 +70,15 @@ def apply_fog(rgb, t, d, hit, settings: RenderSettings):
     return rgb * (1.0 - fog_f) + sky_color(d, settings) * fog_f
 
 
-def shade(rec: HitRecord, o, d, albedo_flat, dims, lights: Lights,
+def shade(rec: HitRecord, o, d, albedo_src, dims, lights: Lights,
           settings: RenderSettings, shadow_vis=None) -> jax.Array:
-    """Full shading dispatch: HitRecord [N] -> rgb [N,3] in [0,1]."""
-    idx = jnp.clip(linear_index(rec.voxel, dims), 0, albedo_flat.shape[0] - 1)
-    albedo = jnp.take(albedo_flat, idx, axis=0)
+    """Full shading dispatch: HitRecord [N] -> rgb [N,3] in [0,1].
+
+    albedo_src: world.grid.Albedo (1D-gather color source — never an [N,3]
+    table, which TPU lane-pads 42x).
+    """
+    idx = jnp.clip(linear_index(rec.voxel, dims), 0, albedo_src.size - 1)
+    albedo = albedo_src.at(idx)
     if settings.shading == "flat":
         rgb = flat_shade(albedo, rec.normal)
     else:

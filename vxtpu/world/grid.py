@@ -55,11 +55,58 @@ class VoxelGrid:
         return tuple(self.occupancy.shape)  # type: ignore[return-value]
 
     def albedo_flat(self) -> jax.Array:
-        """[X*Y*Z, 3] float32 albedo table for gather-by-linear-index."""
+        """[X*Y*Z, 3] float32 albedo table for gather-by-linear-index.
+
+        WARNING (TPU layout): a materialized [N, 3] array gets its lane dim
+        padded 3 -> 128 on TPU (a 42x HBM bloat — fatal at 512^3). Only use
+        this on small grids (soft-grid init); hot paths use ``albedo()``.
+        """
         if self.rgb is not None:
             return self.rgb.reshape(-1, 3)
         occ = self.occupancy.reshape(-1).astype(jnp.int32)
         return MATERIAL_RGB[jnp.minimum(occ, MATERIAL_RGB.shape[0] - 1)]
+
+    def albedo(self) -> "Albedo":
+        """Gather-friendly albedo source for shading (no [N,3] tables)."""
+        if self.rgb is not None:
+            chans = tuple(self.rgb[..., c].reshape(-1) for c in range(3))
+            return Albedo(ids=None, palette=None, channels=chans)
+        return Albedo(
+            ids=self.occupancy.reshape(-1), palette=MATERIAL_RGB, channels=None
+        )
+
+
+@pytree_dataclass
+class Albedo:
+    """Per-hit-voxel color source, laid out so TPU gathers stay 1D.
+
+    Two modes (exactly one is set):
+      * palette: ``ids`` uint8 [X*Y*Z] material ids + ``palette`` [M,3] —
+        one u8 gather per ray, then a tiny table lookup. This is the analog
+        of the reference kernel's voxel-id -> color mapping (SURVEY.md §4.3)
+        and the only sane mode at 512^3.
+      * channels: 3 separate float32 [X*Y*Z] planes (per-voxel RGB) — three
+        1D gathers; avoids the [N,3]-table lane padding (see albedo_flat).
+    """
+
+    ids: jax.Array | None = None
+    palette: jax.Array | None = None
+    channels: tuple | None = None
+
+    def at(self, idx: jax.Array) -> jax.Array:
+        """Albedo [N,3] at clipped linear voxel indices idx [N]."""
+        if self.channels is not None:
+            return jnp.stack(
+                [jnp.take(c, idx, axis=0) for c in self.channels], axis=-1
+            )
+        ids = jnp.take(self.ids, idx, axis=0).astype(jnp.int32)
+        return jnp.take(
+            self.palette, jnp.minimum(ids, self.palette.shape[0] - 1), axis=0
+        )
+
+    @property
+    def size(self) -> int:
+        return self.ids.shape[0] if self.ids is not None else self.channels[0].shape[0]
 
 
 def linear_index(v: jax.Array, dims: tuple[int, int, int]) -> jax.Array:
