@@ -37,8 +37,12 @@ def main():
     dims = (512, 512, 512)
     H, W = 1080, 1920
     grid = procgen.terrain(dims, seed=7)
-    accel = distfield.build(grid.occupancy, cap=24)
-    settings = RenderSettings(shading="lambert")
+    # cap=96: one-time build cost (outside the timed loop) buys ~4x larger
+    # empty-space jumps than cap=24, directly cutting march loop length.
+    accel = distfield.build(grid.occupancy, cap=96)
+    # step_chunk=8: the march's all-done early-exit check runs every 8 steps,
+    # so the loop stops within 8 steps of the last ray finishing instead of 32.
+    settings = RenderSettings(shading="lambert", step_chunk=8)
     lights = Lights.single((100.0, -150.0, 700.0), intensity=2.0)
     base_cam = Camera.make(pos=(-360.0, 256.0, 560.0), fov_y_deg=55.0).look_at(
         (256.0, 256.0, 140.0)

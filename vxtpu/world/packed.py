@@ -1,0 +1,80 @@
+"""Packed coarse-cell acceleration table for the Pallas march kernel.
+
+The reference's SVO packs child-validity masks + traversal data into 64-bit
+descriptors (SURVEY.md §3 C3, Laine-Karras style). The TPU-native analog is
+a *dense* array of per-coarse-cell words, built so ONE table fetch per march
+step yields both the fine hit test and the empty-space jump radius:
+
+    cell c = 2x2x2 fine voxels.
+    word[c] = child_bits | (D << 8)
+
+      child_bits  8 bits  — fine-voxel occupancy of the cell's children,
+                            bit index (x&1)<<2 | (y&1)<<1 | (z&1).
+      D           8 bits  — chessboard (L_inf) distance, in coarse cells,
+                            from c to the nearest non-empty coarse cell;
+                            0 iff c itself contains any solid voxel.
+
+    Every fine voxel inside any cell c' with ||c' - c||_inf <= D-1 is
+    provably empty, so a ray at a fine voxel of c may jump to the exit of
+    the fine-space box [2c - 2(D-1), 2c + 2D) without missing a surface —
+    the same conservative-skip guarantee as world/distfield.py, one level
+    up.
+
+Words are stored as float32 (values < 2^16, exactly representable) in a
+[rows, 128] layout because the Pallas kernel's table lookup is a
+row-one-hot MXU matmul + lane-one-hot reduce (render/kernel_pallas.py) —
+f32 0/1-matmuls reproduce the integer word exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vxtpu.utils import pytree_dataclass
+from vxtpu.world.distfield import build_distance_field
+
+LANES = 128
+
+
+@pytree_dataclass
+class PackedAccel:
+    """words: float32 [rows, 128]; cdims: coarse grid shape (static)."""
+
+    words: jax.Array
+
+    @property
+    def rows(self) -> int:
+        return self.words.shape[0]
+
+
+def coarse_dims(dims: tuple[int, int, int]) -> tuple[int, int, int]:
+    assert all(d % 2 == 0 for d in dims), "packed accel needs even dims"
+    return (dims[0] // 2, dims[1] // 2, dims[2] // 2)
+
+
+def build_packed(occupancy: jax.Array, cap: int = 64) -> PackedAccel:
+    """Build the packed word table from a uint8 occupancy grid [X,Y,Z]."""
+    X, Y, Z = occupancy.shape
+    cx, cy, cz = coarse_dims((X, Y, Z))
+    solid = (occupancy > 0).reshape(cx, 2, cy, 2, cz, 2)
+    child_bits = jnp.zeros((cx, cy, cz), jnp.int32)
+    for a in range(2):
+        for b in range(2):
+            for c in range(2):
+                bit = (a << 2) | (b << 1) | c
+                child_bits = child_bits | (
+                    solid[:, a, :, b, :, c].astype(jnp.int32) << bit
+                )
+    coarse_occ = (child_bits > 0).astype(jnp.uint8)
+    d = build_distance_field(coarse_occ, cap=min(cap, 255)).astype(jnp.int32)
+    word = (child_bits | (d << 8)).astype(jnp.float32)
+    flat = word.reshape(-1)
+    n = flat.shape[0]
+    rows = -(-n // LANES)
+    pad = rows * LANES - n
+    if pad:
+        # padding cells read as "solid children, D=0" so an (impossible)
+        # out-of-range fetch can never certify a skip
+        flat = jnp.concatenate([flat, jnp.full((pad,), 255.0, jnp.float32)])
+    return PackedAccel(words=flat.reshape(rows, LANES))
