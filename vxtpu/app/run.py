@@ -41,6 +41,10 @@ def _build_scene(cfg, dims=None, accel_kind="distfield"):
         accel = distfield.build(grid.occupancy, cap=24)
     elif accel_kind == "pyramid":
         accel = build_pyramid(grid.occupancy, max(cfg.settings.pyramid_levels, 2))
+    elif accel_kind == "packed":
+        from vxtpu.world.packed import build_packed
+
+        accel = build_packed(grid.occupancy)
     else:
         accel = None
     X, Y, Z = dims
@@ -67,6 +71,16 @@ def _kernel_factory(name: str):
         from vxtpu.render.kernel_ref import make_march_ref
 
         return make_march_ref
+    if name == "pallas":
+        from vxtpu.render.kernel_pallas import make_march_pallas
+
+        return make_march_pallas
+    if name == "pallas-interpret":
+        import functools
+
+        from vxtpu.render.kernel_pallas import make_march_pallas
+
+        return functools.partial(make_march_pallas, interpret=True)
     from vxtpu.render.kernel_xla import make_march_xla
 
     return make_march_xla
@@ -235,9 +249,12 @@ def main(argv=None) -> int:
                         help="override grid side length (cube)")
         sp.add_argument("--height", type=int, default=0)
         sp.add_argument("--width", type=int, default=0)
-        sp.add_argument("--accel", choices=["distfield", "pyramid", "none"],
+        sp.add_argument("--accel",
+                        choices=["distfield", "pyramid", "packed", "none"],
                         default="distfield")
-        sp.add_argument("--kernel", choices=["xla", "ref"], default="xla")
+        sp.add_argument("--kernel",
+                        choices=["xla", "ref", "pallas", "pallas-interpret"],
+                        default="xla")
 
     sp = sub.add_parser("render", help="render one frame to PNG")
     common(sp)
