@@ -149,25 +149,28 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
     esg = jnp.where(eax == 0, sgx, jnp.where(eax == 1, sgy, sgz))
 
     zero = jnp.zeros(TILE, jnp.int32)
+    # flags ride the while_loop carry as int32 (i1 vector carries trip a
+    # Mosaic "unsupported target bitwidth" on this toolchain)
     state = (
         vx0, vy0, vz0,                                   # current voxel
         cb0, d0,                                         # fetched word at it
-        first_hit,                                       # hit
+        first_hit.astype(jnp.int32),                     # hit
         jnp.where(first_hit, t_enter, BIG_T),            # t_hit
         jnp.where(first_hit, eax, zero),                 # hit axis
         jnp.where(first_hit, esg, zero),                 # hit step sign
         zero,                                            # steps
-        first_hit | ~valid,                              # done
+        (first_hit | ~valid).astype(jnp.int32),          # done
         jnp.int32(0),                                    # iter
     )
 
     def cond(s):
         done, it = s[10], s[11]
-        return (it < max_steps) & ~jnp.all(done)
+        # integer min-reduce: an i1 all-reduce trips Mosaic bitwidth checks
+        return (it < max_steps) & (jnp.min(done) == 0)
 
     def body(s):
         vx, vy, vz, cb, dist, hit, t_hit, rax, rsg, steps, done, it = s
-        active = ~done
+        active = done == 0
 
         # --- box to exit: D >= 1 -> empty coarse box of radius D-1 around
         # the cell; D == 0 -> the current fine voxel (plain DDA step).
@@ -206,11 +209,14 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         fx_ = vx + sgx
         fy_ = vy + sgy
         fz_ = vz + sgz
-        f_in = jnp.where(
-            mx, (fx_ >= 0) & (fx_ < X),
-            jnp.where(my, (fy_ >= 0) & (fy_ < Y), (fz_ >= 0) & (fz_ < Z)),
+        # boolean algebra, not where-selects: Mosaic rejects vselects whose
+        # VALUE operands are i1 vectors ("unsupported target bitwidth")
+        f_in = (
+            (mx & (fx_ >= 0) & (fx_ < X))
+            | (my & (fy_ >= 0) & (fy_ < Y))
+            | (mz & (fz_ >= 0) & (fz_ < Z))
         )
-        inside = jnp.where(stuck, f_in, inside)
+        inside = (stuck & f_in) | (~stuck & inside)
 
         past_end = t_new > t_end
         ncb, ndist = fetch(nvx, nvy, nvz)
@@ -223,19 +229,19 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         return (
             sel(upd, nvx, vx), sel(upd, nvy, vy), sel(upd, nvz, vz),
             sel(upd, ncb, cb), sel(upd, ndist, dist),
-            hit | new_hit,
+            hit | new_hit.astype(jnp.int32),
             sel(new_hit, t_new, t_hit),
             sel(new_hit, ax, rax),
             sel(new_hit, sg, rsg),
             steps + upd.astype(jnp.int32),
-            done | newly_done,
+            done | newly_done.astype(jnp.int32),
             it + 1,
         )
 
     s = jax.lax.while_loop(cond, body, state)
     vx, vy, vz, _, _, hit, t_hit, rax, rsg, steps, _, _ = s
 
-    hit_ref[0] = hit.astype(jnp.int32)
+    hit_ref[0] = hit
     t_ref[0] = t_hit
     vx_ref[0] = vx
     vy_ref[0] = vy
