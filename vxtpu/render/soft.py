@@ -12,8 +12,9 @@ density grid sigma [X,Y,Z] + color grid rgb [X,Y,Z,3]; a ray accumulates
 
 with trilinearly-interpolated sigma/rgb at S uniform samples on the ray's
 grid-clipped segment. Everything is jnp; gradients to sigma, rgb AND the
-camera pose (through the sample positions) come from autodiff. The Pallas
-custom-VJP fast path (render/vjp.py) must match this to allclose.
+camera pose (through the sample positions) come from autodiff. This module
+is the REFERENCE semantics: the O(N_rays + grid) custom-VJP fast path
+(render/vjp.py) must match it to allclose (tests/test_vjp.py).
 
 Voxel-center convention: the value stored at index (i,j,k) lives at world
 point (i+.5, j+.5, k+.5) — interpolation is over neighboring centers.

@@ -1,0 +1,189 @@
+"""Custom VJP for the differentiable soft render — the contract's core
+differentiability mechanism (BASELINE.json north star: "a custom VJP that
+backpropagates pixel-loss gradients to voxel colors/densities and camera
+pose"; design sketched in SURVEY.md §4.5).
+
+Why a custom VJP instead of autodiff through render/soft.py: autodiff must
+save O(N_rays x S_samples) residuals (sample weights, alphas, gathered
+field values) for the backward pass — at config 5 scale (2.07M rays x 192
+samples) that is tens of GB and cannot fit HBM. This implementation is
+O(N_rays + grid):
+
+  forward  — a `lax.scan` over samples carrying only (T, accumulated
+             color); saves ONLY the per-ray output color C as residual.
+  backward — re-walks the same S samples (recompute instead of store: the
+             march is cheap, HBM is precious — the same trade
+             jax.checkpoint makes), maintaining transmittance T_s and the
+             suffix sum  S_s = sum_{j>s} w_j c_j + T_end*sky  via
+             S_s = C - sum_{j<=s} w_j c_j,  which gives closed forms
+
+               dC/dc_s     = w_s
+               dC/dalpha_s = T_s c_s - S_s / (1 - alpha_s + eps)
+
+             Voxel-grid gradients scatter-add through the trilinear-sample
+             VJP (deterministic XLA scatter — same-seed-bitwise-same grads,
+             tests/test_vjp.py); camera-pose gradients chain through the
+             sample positions p_s = o + t_s d and the AABB clip, exactly as
+             the reference-semantics autodiff does.
+
+Parity: forward equals render/soft.py:render_soft_rays to fp tolerance
+(same op order: sequential scan == cumprod), gradients allclose vs autodiff
+through the reference implementation — the §5 "custom-VJP vs autodiff"
+test tier (tests/test_vjp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vxtpu.render import dda
+from vxtpu.render.settings import RenderSettings
+from vxtpu.render.shade import sky_color
+from vxtpu.render.soft import SoftGrid, trilinear
+
+_EPS = 1e-10
+
+
+def _enter_dt(o, d, dims, num_samples):
+    """Differentiable (t_enter, dt) of the clipped ray segment."""
+    t_enter, t_exit, _ = dda.ray_grid_clip(o, d, dims)
+    seg = jnp.maximum(t_exit - t_enter, 0.0)
+    return t_enter, seg / num_samples
+
+
+def _forward_scan(soft: SoftGrid, o, d, settings, num_samples):
+    """O(N) forward: returns color [N,3] (bit-order-identical to the
+    cumprod formulation in render/soft.py — both multiply one_m factors in
+    sample order)."""
+    dims = soft.dims
+    t_enter, dt = _enter_dt(o, d, dims, num_samples)
+    _, _, valid = dda.ray_grid_clip(o, d, dims)
+    n = o.shape[0]
+
+    def step(carry, s):
+        T, acc = carry
+        t_s = t_enter + dt * (s.astype(o.dtype) + 0.5)
+        p = o + t_s[:, None] * d
+        sigma = jax.nn.softplus(trilinear(soft.sigma_raw, p, dims))
+        c = jax.nn.sigmoid(trilinear(soft.rgb_raw, p, dims))
+        alpha = 1.0 - jnp.exp(-sigma * dt)
+        alpha = jnp.where(valid, alpha, 0.0)
+        w = T * alpha
+        acc = acc + w[:, None] * c
+        T = T * (1.0 - alpha + _EPS)
+        return (T, acc), None
+
+    (T_end, acc), _ = jax.lax.scan(
+        step, (jnp.ones((n,), o.dtype), jnp.zeros((n, 3), o.dtype)),
+        jnp.arange(num_samples),
+    )
+    color = acc + T_end[:, None] * sky_color(d, settings)
+    return color
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def render_soft_rays_fast(soft: SoftGrid, o: jax.Array, d: jax.Array,
+                          settings: RenderSettings, num_samples: int):
+    """Volumetric render rgb [N,3] with an O(N_rays + grid) custom VJP.
+
+    Semantics == render/soft.py:render_soft_rays()[0] (parity-tested);
+    grads == autodiff through it (allclose, tests/test_vjp.py)."""
+    return _forward_scan(soft, o, d, settings, num_samples)
+
+
+def _fwd(soft, o, d, settings, num_samples):
+    color = _forward_scan(soft, o, d, settings, num_samples)
+    return color, (soft, o, d, color)
+
+
+def _bwd(settings, num_samples, res, g):
+    soft, o, d, color = res
+    dims = soft.dims
+    n = o.shape[0]
+
+    (t_enter, dt), clip_vjp = jax.vjp(
+        lambda o_, d_: _enter_dt(o_, d_, dims, num_samples), o, d)
+    _, _, valid = dda.ray_grid_clip(o, d, dims)
+    sky, sky_vjp = jax.vjp(lambda d_: sky_color(d_, settings), d)
+
+    gsig0 = jnp.zeros_like(soft.sigma_raw)
+    grgb0 = jnp.zeros_like(soft.rgb_raw)
+    carry0 = (
+        jnp.ones((n,), o.dtype),          # T_s (exclusive transmittance)
+        jnp.zeros((n, 3), o.dtype),       # acc = sum_{j<=s} w_j c_j
+        gsig0, grgb0,
+        jnp.zeros_like(o),                # go
+        jnp.zeros_like(d),                # gd
+        jnp.zeros((n,), o.dtype),         # g_t_enter
+        jnp.zeros((n,), o.dtype),         # g_dt
+    )
+
+    def step(carry, s):
+        T, acc, gsig, grgb, go, gd, gte, gdt = carry
+        sf = s.astype(o.dtype)
+        t_s = t_enter + dt * (sf + 0.5)
+        p = o + t_s[:, None] * d
+
+        (sv, rv), tri_vjp = jax.vjp(
+            lambda S_, R_, p_: (trilinear(S_, p_, dims),
+                                trilinear(R_, p_, dims)),
+            soft.sigma_raw, soft.rgb_raw, p,
+        )
+        sigma = jax.nn.softplus(sv)
+        c = jax.nn.sigmoid(rv)
+        e = jnp.exp(-sigma * dt)
+        alpha = jnp.where(valid, 1.0 - e, 0.0)
+        one_m = 1.0 - alpha + _EPS
+        w = T * alpha
+
+        acc_new = acc + w[:, None] * c
+        suffix = color - acc_new                       # sum_{j>s} + sky term
+        galpha = jnp.sum(g * (T[:, None] * c - suffix / one_m[:, None]),
+                         axis=-1)
+        galpha = jnp.where(valid, galpha, 0.0)
+
+        gc = g * w[:, None]                            # dL/dc_s
+        grv = gc * c * (1.0 - c)                       # sigmoid'
+        gsigma = galpha * dt * e                       # d alpha / d sigma
+        gsv = gsigma * jax.nn.sigmoid(sv)              # softplus'
+        gs_grid, gr_grid, gp = tri_vjp((gsv, grv))
+
+        gts = jnp.sum(gp * d, axis=-1)                 # p = o + t_s d
+        return (
+            T * one_m,
+            acc_new,
+            gsig + gs_grid,
+            grgb + gr_grid,
+            go + gp,
+            gd + gp * t_s[:, None],
+            gte + gts,
+            gdt + gts * (sf + 0.5) + galpha * sigma * e,  # alpha's dt term
+        ), None
+
+    (T_end, _, gsig, grgb, go, gd, gte, gdt), _ = jax.lax.scan(
+        step, carry0, jnp.arange(num_samples))
+
+    # sky: C += T_end * sky(d); T_end's alpha-dependence is already inside
+    # the suffix term above, only the direct d-dependence of sky remains.
+    (gd_sky,) = sky_vjp(T_end[:, None] * g)
+    gd = gd + gd_sky
+    # chain t_enter / dt back into (o, d) through the AABB clip
+    go2, gd2 = clip_vjp((gte, gdt))
+    return SoftGrid(sigma_raw=gsig, rgb_raw=grgb), go + go2, gd + gd2
+
+
+render_soft_rays_fast.defvjp(_fwd, _bwd)
+
+
+def render_soft_image_fast(soft: SoftGrid, cam, settings: RenderSettings,
+                           height: int, width: int, num_samples: int):
+    """[H,W,3] differentiable render on the custom-VJP path (grads flow to
+    the soft grid AND the camera pose through generate_rays)."""
+    from vxtpu.camera.rays import generate_rays
+
+    o, d = generate_rays(cam, height, width)
+    rgb = render_soft_rays_fast(soft, o, d, settings, num_samples)
+    return rgb.reshape(height, width, 3)

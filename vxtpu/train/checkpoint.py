@@ -2,8 +2,13 @@
 
 The reference has no persistent state (world regenerated per run,
 SURVEY.md §6) — checkpointing is new, normative capability for the training
-configs. Uses orbax when available (multi-host-safe, sharding-aware) with a
-plain numpy .npz fallback so CPU CI never depends on orbax internals.
+configs. Format: plain numpy ``.npz`` written atomically by host 0 only.
+That is sufficient and multi-host-correct here because every checkpointed
+leaf (SoftGrid, camera pose) is REPLICATED across the mesh — host 0's copy
+is the full state, and every host restores the same values on resume (the
+CLI ``train --resume`` path). A sharding-aware orbax backend only becomes
+necessary if the grid itself is ever sharded (future work, SURVEY.md §6
+"ray-count scaling" extension).
 """
 
 from __future__ import annotations

@@ -35,6 +35,8 @@ class TrainConfig:
     optimize_camera: bool = False
     cam_lr: float = 1e-3
     seed: int = 0
+    nan_check_every: int = 25       # pull loss to host every k steps; 0 = off
+    use_custom_vjp: bool = False    # render via the custom-VJP fast path
 
 
 def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
@@ -44,7 +46,12 @@ def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
     gradients flow through ray generation."""
     if cfg.optimize_camera:
         o, d = generate_rays(cam, *hw)
-    pred, _ = render_soft_rays(soft, o, d, settings, cfg.num_samples)
+    if cfg.use_custom_vjp:
+        from vxtpu.render.vjp import render_soft_rays_fast
+
+        pred = render_soft_rays_fast(soft, o, d, settings, cfg.num_samples)
+    else:
+        pred, _ = render_soft_rays(soft, o, d, settings, cfg.num_samples)
     loss = mse(pred, target)
     if cfg.tv_sigma:
         loss = loss + cfg.tv_sigma * tv_loss(soft.sigma_raw)
@@ -98,6 +105,15 @@ def fit_soft(soft: SoftGrid, cam: Camera, target_img: jax.Array,
             o_b, d_b, t_b = o, d, target
         params, opt_state, loss = step(params, opt_state, o_b, d_b, t_b)
         losses.append(loss)
+        # NaN guard (SURVEY.md §6 "training-loop NaN guards"): periodic host
+        # pull so a diverged run fails loudly instead of training on garbage.
+        if cfg.nan_check_every and (i % cfg.nan_check_every == 0
+                                    or i == cfg.steps - 1):
+            lv = float(loss)
+            if not (lv == lv and abs(lv) != float("inf")):
+                raise FloatingPointError(
+                    f"fit_soft: non-finite loss {lv} at step {i}"
+                )
         if log_fn is not None and (i % 20 == 0 or i == cfg.steps - 1):
             log_fn(i, float(loss))
     losses = [float(l) for l in losses]
