@@ -36,6 +36,15 @@ def orbit(center, radius: float, height: float, period: float = 8.0,
     return at
 
 
+def orbit_views(center, radius: float, height: float, n: int,
+                fov_y_deg: float = 60.0) -> list[Camera]:
+    """n cameras evenly spaced on an orbit, all aimed at center — the
+    standard multi-view capture rig for inverse rendering (BASELINE config
+    4 'target images'; train/loop.py:fit_soft_views)."""
+    at = orbit(center, radius, height, period=float(n), fov_y_deg=fov_y_deg)
+    return [at(jnp.float32(i)) for i in range(n)]
+
+
 def flythrough(waypoints: Sequence, look_at, period: float = 10.0,
                fov_y_deg: float = 60.0) -> Callable[[jax.Array], Camera]:
     """Piecewise-linear loop through waypoints, aimed at a fixed target."""

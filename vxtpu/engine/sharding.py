@@ -99,6 +99,31 @@ def render_image_sharded(march_factory, grid, cam: Camera, lights, settings,
     return rgb[:n_real].reshape(height, width, 3)
 
 
+def render_soft_image_sharded(soft: SoftGrid, cam: Camera,
+                              settings: RenderSettings, height: int,
+                              width: int, num_samples: int, mesh: Mesh):
+    """[H,W,3] soft-volumetric frame with rays sharded over the mesh and the
+    grid replicated — the forward-render half of config 5 (and the target
+    generator for its per-frame optimization)."""
+    n_shards = mesh.devices.size
+    o, d = generate_rays(cam, height, width)
+    o, d, n_real = _pad_rays(o, d, n_shards)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    def _render_shard(o_s, d_s, soft_s):
+        rgb, _ = render_soft_rays(soft_s, o_s, d_s, settings, num_samples)
+        return rgb
+
+    rgb = _render_shard(o, d, soft)
+    return rgb[:n_real].reshape(height, width, 3)
+
+
 def make_sharded_train_step(settings: RenderSettings, num_samples: int,
                             mesh: Mesh, lr: float = 5e-2, cam_lr: float = 1e-3,
                             optimize_camera: bool = True):

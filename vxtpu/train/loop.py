@@ -5,6 +5,14 @@ This is new capability relative to the reference (which has no training,
 SURVEY.md §1) but normative for the rebuild (BASELINE.json configs 4-5).
 Idiomatic TPU shape: one jitted ``step`` closed over static config, scanned
 from Python; donated carry so grid + optimizer state stay HBM-resident.
+
+Two entry points:
+  fit_soft        — single target view (+ optional camera-pose refinement).
+  fit_soft_views  — N views: BASELINE.json config 4's "optimize voxel
+                    colors/densities from target imageS" — single-view
+                    inverse rendering is ill-posed; N views make the
+                    recovery real (tests/test_multiview.py demonstrates
+                    PSNR recovery of a known scene from 8 orbit views).
 """
 
 from __future__ import annotations
@@ -60,6 +68,35 @@ def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
     return loss
 
 
+def fit_soft_views(soft: SoftGrid, cams: list[Camera],
+                   target_imgs: jax.Array, settings: RenderSettings,
+                   cfg: TrainConfig,
+                   log_fn: Callable[[int, float], None] | None = None):
+    """Optimize a soft grid against N posed views (BASELINE config 4:
+    "optimize voxel colors/densities from target images").
+
+    cams: V cameras; target_imgs: [V,H,W,3]. Every step samples a ray
+    minibatch uniformly over the union of all views' rays (cfg.ray_batch;
+    0 = all rays of all views every step). Poses are fixed (known); use
+    fit_soft(optimize_camera=True) for single-view pose refinement.
+    Returns (soft', losses [steps]).
+    """
+    assert target_imgs.ndim == 4 and target_imgs.shape[0] == len(cams)
+    V, H, W = target_imgs.shape[:3]
+    os_, ds_ = [], []
+    for c in cams:
+        o, d = generate_rays(c, H, W)
+        os_.append(o)
+        ds_.append(d)
+    o = jnp.concatenate(os_, axis=0)
+    d = jnp.concatenate(ds_, axis=0)
+    target = target_imgs.reshape(-1, 3)
+    cfg = dataclasses.replace(cfg, optimize_camera=False)
+    soft, _, losses = _fit_rays(soft, cams[0], o, d, target, (H, W),
+                                settings, cfg, log_fn)
+    return soft, losses
+
+
 def fit_soft(soft: SoftGrid, cam: Camera, target_img: jax.Array,
              settings: RenderSettings, cfg: TrainConfig,
              log_fn: Callable[[int, float], None] | None = None):
@@ -68,6 +105,13 @@ def fit_soft(soft: SoftGrid, cam: Camera, target_img: jax.Array,
     H, W = target_img.shape[:2]
     o, d = generate_rays(cam, H, W)
     target = target_img.reshape(-1, 3)
+    return _fit_rays(soft, cam, o, d, target, (H, W), settings, cfg, log_fn)
+
+
+def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
+              settings: RenderSettings, cfg: TrainConfig,
+              log_fn: Callable[[int, float], None] | None = None):
+    H, W = hw
     minibatched = bool(cfg.ray_batch) and cfg.ray_batch < o.shape[0]
     if cfg.optimize_camera and minibatched:
         raise ValueError("optimize_camera requires full-image steps (ray_batch=0)")
