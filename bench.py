@@ -24,11 +24,13 @@ def main():
 
     enable_compilation_cache()
 
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from vxtpu.camera.camera import Camera
-    from vxtpu.render.kernel_xla import make_march_xla
+    from vxtpu.render.kernel_wavefront import make_march_wavefront
     from vxtpu.render.pipeline import render_image
     from vxtpu.render.settings import RenderSettings
     from vxtpu.world import distfield, procgen
@@ -48,13 +50,23 @@ def main():
         (256.0, 256.0, 140.0)
     )
 
+    # Flagship path: wavefront-compaction march (render/kernel_wavefront.py)
+    # — active-ray compaction between rounds so dead lanes never gather
+    # (5.3x over the masked XLA march on this endpoint, tools/
+    # bench_wavefront_out.json). Schedule tuned for the 1080p primary-ray
+    # step distribution (p50-valid~8, p99=24, tail<=90).
+    factory = functools.partial(
+        make_march_wavefront,
+        schedule=((1152 * 1024, 8), (192 * 1024, 16), (48 * 1024, 40)),
+    )
+
     # NOTE: world arrays are jit *arguments*, never closure constants — a
     # closed-over 134 MB occupancy would be inlined into the MLIR payload
     # (axon remote-compile rejects >~100 MB bodies with HTTP 413).
     @jax.jit
     def frame(g, acc, eps):
         cam = base_cam.replace(yaw=base_cam.yaw + eps * 1e-6)
-        img = render_image(make_march_xla, g, cam, lights, settings, H, W, acc)
+        img = render_image(factory, g, cam, lights, settings, H, W, acc)
         return img, jnp.mean(img)
 
     # warmup/compile
@@ -74,6 +86,7 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+        "kernel": "wavefront",
     }))
 
 

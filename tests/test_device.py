@@ -1,0 +1,119 @@
+"""Device-gated tests: run the real-hardware paths (Mosaic-compiled Pallas
+kernel, wavefront march, custom-VJP training step) on the actual TPU chip.
+
+Skipped unless VXTPU_TEST_PLATFORM names a non-CPU backend, e.g.
+
+    VXTPU_TEST_PLATFORM=axon python -m pytest tests/test_device.py -q
+
+Rationale (VERDICT r1 "what's weak" #2): interpret-mode CPU parity alone
+leaves Mosaic-compile health untested — one toolchain bump and the contract
+kernel silently breaks. This module makes device health a test, not
+folklore. Parity oracle: the batched XLA march / pure-jnp soft renderer,
+themselves parity-locked to kernel_ref on CPU (tests/test_parity.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+_plat = os.environ.get("VXTPU_TEST_PLATFORM", "cpu")
+pytestmark = pytest.mark.skipif(
+    _plat == "cpu",
+    reason="device tests need VXTPU_TEST_PLATFORM=<tpu backend> (e.g. axon)",
+)
+
+DIMS = (32, 32, 32)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    import jax
+
+    from vxtpu.camera.camera import Camera
+    from vxtpu.camera.rays import generate_rays
+    from vxtpu.world import procgen
+
+    assert jax.default_backend() != "cpu", jax.default_backend()
+    grid = procgen.terrain(DIMS, seed=11)
+    cam = Camera.make(pos=(-20.0, 16.0, 40.0)).look_at((16.0, 16.0, 12.0))
+    o, d = generate_rays(cam, 32, 32)
+    return grid, o, d
+
+
+def _assert_hitrec_close(r, f, min_agree=0.998):
+    hit_r, hit_f = np.array(r.hit), np.array(f.hit)
+    agree = (hit_r == hit_f).mean()
+    assert agree > min_agree, f"hit mask agreement {agree}"
+    both = hit_r & hit_f
+    np.testing.assert_allclose(
+        np.array(r.t)[both], np.array(f.t)[both], rtol=1e-4, atol=1e-3
+    )
+
+
+def test_pallas_mosaic_compiles_and_matches_xla(scene):
+    """The contract Pallas kernel must Mosaic-compile AND agree with the
+    XLA march on the real chip (not just in interpret mode)."""
+    import jax
+
+    from vxtpu.render.kernel_pallas import make_march_pallas
+    from vxtpu.render.kernel_xla import make_march_xla
+    from vxtpu.render.settings import RenderSettings
+
+    grid, o, d = scene
+    settings = RenderSettings()
+    occ_flat = grid.occupancy.reshape(-1)
+    ref = jax.jit(make_march_xla(occ_flat, DIMS, settings, None))
+    fast = jax.jit(make_march_pallas(occ_flat, DIMS, settings))
+    r = jax.block_until_ready(ref(o, d))
+    f = jax.block_until_ready(fast(o, d))
+    _assert_hitrec_close(r, f)
+
+
+def test_wavefront_matches_xla_on_device(scene):
+    import jax
+
+    from vxtpu.render.kernel_wavefront import make_march_wavefront
+    from vxtpu.render.kernel_xla import make_march_xla
+    from vxtpu.render.settings import RenderSettings
+    from vxtpu.world import distfield
+
+    grid, o, d = scene
+    settings = RenderSettings()
+    occ_flat = grid.occupancy.reshape(-1)
+    accel = distfield.build(grid.occupancy, cap=24)
+    ref = jax.jit(make_march_xla(occ_flat, DIMS, settings, accel))
+    fast = jax.jit(make_march_wavefront(occ_flat, DIMS, settings, accel))
+    r = jax.block_until_ready(ref(o, d))
+    f = jax.block_until_ready(fast(o, d))
+    _assert_hitrec_close(r, f)
+    both = np.array(r.hit) & np.array(f.hit)
+    assert (np.array(r.voxel)[both] == np.array(f.voxel)[both]).all()
+
+
+def test_custom_vjp_grads_on_device(scene):
+    """Custom-VJP backward compiles and matches autodiff on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from vxtpu.render.settings import RenderSettings
+    from vxtpu.render.soft import SoftGrid, render_soft_rays
+    from vxtpu.render.vjp import render_soft_rays_fast
+
+    grid, o, d = scene
+    settings = RenderSettings()
+    soft = SoftGrid.from_hard(grid, sigma_solid=10.0)
+
+    def loss_ref(s):
+        pred, _ = render_soft_rays(s, o, d, settings, 24)
+        return jnp.mean(pred**2)
+
+    def loss_fast(s):
+        return jnp.mean(render_soft_rays_fast(s, o, d, settings, 24) ** 2)
+
+    g_ref = jax.block_until_ready(jax.jit(jax.grad(loss_ref))(soft))
+    g_fast = jax.block_until_ready(jax.jit(jax.grad(loss_fast))(soft))
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fast)):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=5e-3, atol=1e-6)

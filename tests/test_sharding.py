@@ -111,3 +111,40 @@ def test_sharded_vs_single_device_grads_match():
     g_shard = sharded_grad(soft, o, d, tgt)
     for a, b in zip(jax.tree_util.tree_leaves(g_single), jax.tree_util.tree_leaves(g_shard)):
         np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4, atol=1e-6)
+
+
+def test_bucketed_psum_matches_monolithic():
+    """grad_buckets>1 pipelines per-bucket psums with the backward
+    (BASELINE north star "psum overlapped with backward traversal");
+    the bucketed gradient must equal the monolithic-psum gradient.
+    SGD(1.0) makes param deltas == gradients (adam would amplify fp
+    reassociation noise at near-zero gradients into percent-level param
+    diffs, which is optimizer conditioning, not a psum defect)."""
+    import optax
+
+    mesh = make_mesh()
+    grid = procgen.shell_sphere(DIMS)
+    truth = SoftGrid.from_hard(grid, sigma_solid=20.0)
+    cam = Camera.make(pos=(-20.0, 16.0, 16.0)).look_at((16.0, 16.0, 16.0))
+    H = W = 16
+    s = RenderSettings()
+    target = render_soft_image(truth, cam, s, H, W, num_samples=32).reshape(-1, 3)
+    o_c, d_c = camera_frame_rays(cam, H, W)
+
+    outs = {}
+    for buckets in (1, 4):
+        soft = SoftGrid.zeros(DIMS)
+        init_fn, step_fn = make_sharded_train_step(
+            s, 32, mesh, optimize_camera=True, grad_buckets=buckets,
+            optimizer=optax.sgd(1.0), cam_optimizer=optax.sgd(1.0))
+        opt_state = init_fn(soft, cam)
+        soft1, cam1, _, loss = step_fn(soft, cam, opt_state, o_c, d_c, target)
+        outs[buckets] = (soft1, cam1, float(loss))
+
+    s1, c1, l1 = outs[1]
+    s4, c4, l4 = outs[4]
+    np.testing.assert_allclose(l1, l4, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves((s1, c1)),
+                    jax.tree_util.tree_leaves((s4, c4))):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -81,6 +81,10 @@ def _kernel_factory(name: str):
         from vxtpu.render.kernel_pallas import make_march_pallas
 
         return functools.partial(make_march_pallas, interpret=True)
+    if name == "wavefront":
+        from vxtpu.render.kernel_wavefront import make_march_wavefront
+
+        return make_march_wavefront
     from vxtpu.render.kernel_xla import make_march_xla
 
     return make_march_xla
@@ -155,51 +159,131 @@ def cmd_animate(args) -> int:
 
 
 def cmd_train(args) -> int:
-    import jax
+    """Config 4: inverse-rendering fit. Honors --config (c4_512_diff scaled
+    by --dims/--height/--width), multi-view capture (--views N), --resume,
+    and the custom-VJP fast path (--custom-vjp)."""
+    import jax.numpy as jnp
 
+    from vxtpu.app.configs import CONFIGS
+    from vxtpu.camera import paths
     from vxtpu.camera.camera import Camera
-    from vxtpu.render.settings import RenderSettings
     from vxtpu.render.soft import SoftGrid, render_soft_image
-    from vxtpu.train.checkpoint import save_checkpoint
-    from vxtpu.train.loop import TrainConfig, fit_soft
+    from vxtpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from vxtpu.train.loop import TrainConfig, fit_soft, fit_soft_views
     from vxtpu.world import procgen
 
-    dims = (args.dims,) * 3
+    cfg = CONFIGS[args.config]
+    if not cfg.soft:
+        raise SystemExit(f"config {cfg.name} is not a soft/differentiable "
+                         "config; use c4_512_diff or c5_1080p_pod")
+    dims = (args.dims,) * 3 if args.dims else cfg.dims
+    h = args.height or cfg.height
+    w = args.width or cfg.width
+    samples = args.samples or cfg.num_samples
+    settings = cfg.settings
     X, Y, Z = dims
-    settings = RenderSettings()
-    target_grid = procgen.terrain(dims, seed=args.seed, with_rgb=True)
-    cam = Camera.make(pos=(-0.7 * X, 0.5 * Y, 1.1 * Z)).look_at(
-        (0.5 * X, 0.5 * Y, 0.27 * Z)
-    )
-    target = render_soft_image(
-        SoftGrid.from_hard(target_grid), cam, settings,
-        args.height, args.width, args.samples,
-    )
+    target_grid = procgen.terrain(dims, seed=cfg.seed, with_rgb=True)
+    truth = SoftGrid.from_hard(target_grid)
 
+    tc = TrainConfig(steps=args.steps, num_samples=samples,
+                     ray_batch=args.ray_batch, seed=cfg.seed,
+                     use_custom_vjp=args.custom_vjp)
+    start_step = 0
     soft = SoftGrid.zeros(dims)
-    tc = TrainConfig(steps=args.steps, num_samples=args.samples,
-                     ray_batch=args.ray_batch, seed=args.seed)
-    soft, cam_out, losses = fit_soft(
-        soft, cam, target, settings, tc,
-        log_fn=lambda i, l: print(f"step {i:5d}  loss {l:.6f}"),
-    )
+    if args.resume:
+        soft, _, start_step, _ = load_checkpoint(args.resume)
+        tc = TrainConfig(steps=max(args.steps - start_step, 0),
+                         num_samples=samples, ray_batch=args.ray_batch,
+                         seed=cfg.seed + start_step,
+                         use_custom_vjp=args.custom_vjp)
+
+    log = lambda i, l: print(f"step {start_step + i:5d}  loss {l:.6f}")
+    if args.views > 1:
+        cams = paths.orbit_views(
+            center=(0.5 * X, 0.5 * Y, 0.3 * Z), radius=0.9 * X,
+            height=1.1 * Z, n=args.views, fov_y_deg=55.0)
+        target = jnp.stack([
+            render_soft_image(truth, c, settings, h, w, samples)
+            for c in cams
+        ])
+        soft, losses = fit_soft_views(soft, cams, target, settings, tc,
+                                      log_fn=log)
+        cam_out, view0 = cams[0], target[0]
+    else:
+        cam_out = Camera.make(pos=(-0.7 * X, 0.5 * Y, 1.1 * Z)).look_at(
+            (0.5 * X, 0.5 * Y, 0.27 * Z))
+        view0 = render_soft_image(truth, cam_out, settings, h, w, samples)
+        soft, cam_out, losses = fit_soft(soft, cam_out, view0, settings, tc,
+                                         log_fn=log)
+
     os.makedirs(args.out, exist_ok=True)
     save_checkpoint(os.path.join(args.out, "ckpt.npz"), soft, cam_out,
-                    step=args.steps, extra={"losses": np.asarray(losses)})
-    final = render_soft_image(soft, cam_out, settings, args.height,
-                              args.width, args.samples)
-    _save_png(os.path.join(args.out, "target.png"), target)
+                    step=start_step + tc.steps,
+                    extra={"losses": np.asarray(losses)})
+    final = render_soft_image(soft, cam_out, settings, h, w, samples)
+    _save_png(os.path.join(args.out, "target.png"), view0)
     _save_png(os.path.join(args.out, "fit.png"), final)
-    print(json.dumps({"metric": "final_loss", "value": losses[-1],
-                      "steps": args.steps}))
+    print(json.dumps({"metric": "final_loss",
+                      "value": losses[-1] if losses else None,
+                      "steps": start_step + tc.steps, "views": args.views}))
     return 0
 
 
+def cmd_config5(args) -> int:
+    """Config 5 (BASELINE configs[4]): animated scene, rays sharded over the
+    mesh, camera-pose + voxel gradient descent per frame. --multihost joins
+    a pod-slice SPMD job first (every host runs this same command)."""
+    from vxtpu.app.configs import CONFIGS
+    from vxtpu.engine.platform import init_multihost, validate_platform
+    from vxtpu.obs.metrics import MetricsSink
+    from vxtpu.train.config5 import Config5, run_config5
+
+    if args.multihost:
+        init_multihost()
+    cfg5 = Config5(
+        dims=(args.dims,) * 3 if args.dims else (512, 512, 512),
+        height=args.height or 1080, width=args.width or 1920,
+        num_samples=args.samples or 192, frames=args.frames,
+        steps_per_frame=args.steps_per_frame,
+    )
+    settings = CONFIGS["c5_1080p_pod"].settings
+    validate_platform()
+    sink = MetricsSink(path=os.path.join(args.out, "metrics.jsonl")
+                       if args.out else None)
+    res = run_config5(cfg5, settings, out_dir=args.out, resume=args.resume,
+                      sink=sink, save_frames=args.save_frames)
+    print(json.dumps({
+        "metric": "config5_final_psnr", "value": res["psnrs"][-1],
+        "frames": cfg5.frames, "final_loss": res["losses"][-1],
+        "yaw_err": res["yaw_err"], "pitch_err": res["pitch_err"],
+    }))
+    return 0
+
+
+def _timed_frames(frame, iters, *fargs):
+    """Dependency-chained frame timing (axon: block_until_ready can return
+    at enqueue; the chain forces real sequential execution)."""
+    import jax
+    import jax.numpy as jnp
+
+    img, dep = frame(*fargs, jnp.float32(0.0))
+    jax.block_until_ready(img)
+    float(dep)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img, dep = frame(*fargs, dep)
+    float(dep)
+    return (time.perf_counter() - t0) / iters
+
+
 def cmd_bench(args) -> int:
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
     from vxtpu.app.configs import CONFIGS
+    from vxtpu.obs.metrics import MetricsSink, mrays_per_s
     from vxtpu.render.pipeline import render_image
 
     cfg = CONFIGS[args.config]
@@ -208,6 +292,7 @@ def cmd_bench(args) -> int:
     w = args.width or cfg.width
     grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
     factory = _kernel_factory(args.kernel)
+    sink = MetricsSink()
 
     @jax.jit
     def frame(g, a, eps):
@@ -215,19 +300,59 @@ def cmd_bench(args) -> int:
         img = render_image(factory, g, c, lights, cfg.settings, h, w, a)
         return img, jnp.mean(img)
 
-    img, dep = frame(grid, accel, jnp.float32(0.0))
-    jax.block_until_ready(img)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        img, dep = frame(grid, accel, dep)  # dependency chain forces sequential frames
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / args.iters
-    mrays = h * w / dt / 1e6
-    print(json.dumps({
-        "metric": f"Mrays/s/chip @ {cfg.name} {dims[0]}^3 {h}x{w}",
-        "value": round(mrays, 3), "unit": "Mrays/s",
-        "fps": round(1.0 / dt, 2),
-    }))
+    prof = (jax.profiler.trace(args.profile)
+            if args.profile else contextlib.nullcontext())
+    with prof:
+        dt = _timed_frames(frame, args.iters, grid, accel)
+    mrays = mrays_per_s(h, w, dt)
+    sink.emit(metric=f"Mrays/s/chip @ {cfg.name} {dims[0]}^3 {h}x{w}",
+              value=round(mrays, 3), unit="Mrays/s", fps=round(1.0 / dt, 2),
+              kernel=args.kernel, profile=args.profile or None)
+    return 0
+
+
+def cmd_scaling(args) -> int:
+    """Rays/s at 1..N devices + parallel efficiency (BASELINE: "scaling
+    measured at 1 chip, 1 host, N>=2 hosts"; >=90% linear target). On a
+    single-chip endpoint, run under XLA_FLAGS=--xla_force_host_platform_
+    device_count=8 JAX_PLATFORMS=cpu to exercise the sharded path."""
+    import jax
+    import jax.numpy as jnp
+
+    from vxtpu.app.configs import CONFIGS
+    from vxtpu.engine.sharding import make_mesh, render_image_sharded
+    from vxtpu.obs.metrics import MetricsSink, mrays_per_s
+
+    cfg = CONFIGS[args.config]
+    dims = (args.dims,) * 3 if args.dims else cfg.dims
+    h = args.height or cfg.height
+    w = args.width or cfg.width
+    grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
+    factory = _kernel_factory(args.kernel)
+    sink = MetricsSink()
+
+    n_max = len(jax.devices())
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_max]
+    if counts[-1] != n_max:
+        counts.append(n_max)
+    base = None
+    for n in counts:
+        mesh = make_mesh(n)
+
+        @jax.jit
+        def frame(g, a, eps, mesh=mesh):
+            c = cam.replace(yaw=cam.yaw + eps * 1e-6)
+            img = render_image_sharded(factory, g, c, lights, cfg.settings,
+                                       h, w, mesh, a)
+            return img, jnp.mean(img)
+
+        dt = _timed_frames(frame, args.iters, grid, accel)
+        mrays = mrays_per_s(h, w, dt)
+        if base is None:
+            base = mrays
+        eff = mrays / (base * n)
+        sink.emit(metric="scaling", devices=n, mrays=round(mrays, 3),
+                  efficiency=round(eff, 4), fps=round(1.0 / dt, 2))
     return 0
 
 
@@ -253,7 +378,8 @@ def main(argv=None) -> int:
                         choices=["distfield", "pyramid", "packed", "none"],
                         default="distfield")
         sp.add_argument("--kernel",
-                        choices=["xla", "ref", "pallas", "pallas-interpret"],
+                        choices=["xla", "wavefront", "ref", "pallas",
+                                 "pallas-interpret"],
                         default="xla")
 
     sp = sub.add_parser("render", help="render one frame to PNG")
@@ -268,20 +394,51 @@ def main(argv=None) -> int:
     sp.set_defaults(fn=cmd_animate)
 
     sp = sub.add_parser("train", help="inverse-rendering fit (config 4)")
-    sp.add_argument("--dims", type=int, default=48)
+    sp.add_argument("--config", default="c4_512_diff")
+    sp.add_argument("--dims", type=int, default=48,
+                    help="override grid side (0 = config's full dims)")
     sp.add_argument("--height", type=int, default=96)
     sp.add_argument("--width", type=int, default=96)
     sp.add_argument("--steps", type=int, default=100)
-    sp.add_argument("--samples", type=int, default=96)
+    sp.add_argument("--samples", type=int, default=96,
+                    help="0 = config's num_samples")
     sp.add_argument("--ray-batch", type=int, default=0)
-    sp.add_argument("--seed", type=int, default=7)
+    sp.add_argument("--views", type=int, default=1,
+                    help=">1: multi-view orbit capture (config 4 'images')")
+    sp.add_argument("--custom-vjp", action="store_true",
+                    help="render via the O(N+grid) custom-VJP fast path")
+    sp.add_argument("--resume", default=None, help="checkpoint .npz to resume")
     sp.add_argument("--out", default="/tmp/vxtpu_fit")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser(
+        "config5", help="animated sharded per-frame optimization (config 5)")
+    sp.add_argument("--dims", type=int, default=0,
+                    help="override grid side (0 = 512)")
+    sp.add_argument("--height", type=int, default=0)
+    sp.add_argument("--width", type=int, default=0)
+    sp.add_argument("--samples", type=int, default=0)
+    sp.add_argument("--frames", type=int, default=24)
+    sp.add_argument("--steps-per-frame", type=int, default=2)
+    sp.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize() before building the mesh")
+    sp.add_argument("--resume", default=None, help="checkpoint .npz to resume")
+    sp.add_argument("--save-frames", action="store_true")
+    sp.add_argument("--out", default="/tmp/vxtpu_c5")
+    sp.set_defaults(fn=cmd_config5)
 
     sp = sub.add_parser("bench", help="throughput benchmark")
     common(sp)
     sp.add_argument("--iters", type=int, default=4)
+    sp.add_argument("--profile", default=None, metavar="DIR",
+                    help="wrap the timed loop in jax.profiler.trace(DIR)")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("scaling",
+                        help="rays/s at 1..N devices + parallel efficiency")
+    common(sp)
+    sp.add_argument("--iters", type=int, default=4)
+    sp.set_defaults(fn=cmd_scaling)
 
     sp = sub.add_parser("info", help="platform report")
     sp.set_defaults(fn=cmd_info)

@@ -70,6 +70,34 @@ def platform_report() -> dict:
     return dataclasses.asdict(info)
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> PlatformInfo:
+    """Join the multi-host SPMD runtime (``jax.distributed.initialize``) —
+    the TPU-native analog of the reference having no distribution at all
+    (SURVEY.md §3 "Parallelism table": the rebuild adds multi-host).
+
+    With no arguments, jax auto-detects the cluster from the TPU metadata /
+    environment (the normal pod-slice path); explicit args support manual
+    CPU/GPU clusters. Idempotent: safe to call when already initialized or
+    when running single-process (both become no-ops).
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        # already initialized, or single-process with no cluster env
+        if "already" not in str(e).lower() and num_processes not in (None, 1):
+            raise
+    except ValueError:
+        if num_processes not in (None, 1):
+            raise
+    return platform_info()
+
+
 def validate_platform(scene_tree=None, mesh_devices: int | None = None,
                       hbm_headroom: float = 0.75) -> PlatformInfo:
     """Fail fast before any compile: scene must fit one chip's HBM (the

@@ -126,9 +126,22 @@ def render_soft_image_sharded(soft: SoftGrid, cam: Camera,
 
 def make_sharded_train_step(settings: RenderSettings, num_samples: int,
                             mesh: Mesh, lr: float = 5e-2, cam_lr: float = 1e-3,
-                            optimize_camera: bool = True):
+                            optimize_camera: bool = True,
+                            grad_buckets: int = 1,
+                            optimizer=None, cam_optimizer=None):
     """Jitted SPMD training step for config 5: rays sharded, grid replicated,
     grads psum'd over ICI, identical adam update on every device.
+
+    grad_buckets > 1 pipelines the gradient all-reduce with the backward
+    pass (BASELINE north star: "psum over ICI overlapped with backward
+    traversal"): the local ray shard is split into B microbatches and each
+    microbatch's grads are psum'd THE MOMENT they are produced, so the
+    collective for bucket i rides ICI while bucket i+1's backward is still
+    computing (XLA's latency-hiding scheduler overlaps them — the psum
+    result is only needed at the final accumulate, never on the backward's
+    critical path). Summing psums == psum'ing the sum up to fp
+    reassociation; equality with the monolithic path is locked by
+    tests/test_sharding.py::test_bucketed_psum_matches_monolithic.
 
     Returns (init_fn, step_fn):
       init_fn(soft, cam) -> opt_state
@@ -137,8 +150,8 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     """
     import optax
 
-    opt = optax.adam(lr)
-    cam_opt = optax.adam(cam_lr)
+    opt = optimizer if optimizer is not None else optax.adam(lr)
+    cam_opt = cam_optimizer if cam_optimizer is not None else optax.adam(cam_lr)
 
     def init_fn(soft: SoftGrid, cam: Camera):
         return (opt.init(soft), cam_opt.init(cam) if optimize_camera else None)
@@ -165,14 +178,29 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
         check_vma=False,
     )
     def _step(soft, cam, opt_state, o_s, d_s, tgt_s):
-        n_total = o_s.shape[0] * mesh.devices.size
-        def lf(params):
-            s, c = params
-            return _local_loss(s, c, o_s, d_s, tgt_s, n_total)
-        loss, grads = jax.value_and_grad(lf)((soft, cam))
-        # the one collective: grads (and loss) all-reduced over ICI
-        grads = jax.lax.psum(grads, RAY_AXIS)
-        loss = jax.lax.psum(loss, RAY_AXIS)
+        n_local = o_s.shape[0]
+        n_total = n_local * mesh.devices.size
+        B = max(1, min(grad_buckets, n_local))
+        assert n_local % B == 0, (
+            f"local ray shard {n_local} must divide into {B} grad buckets")
+        nb = n_local // B
+
+        loss = jnp.float32(0.0)
+        grads = None
+        # Unrolled so each bucket's psum is an independent HLO collective
+        # that can launch while later buckets' backward is still running.
+        for b in range(B):
+            sl = slice(b * nb, (b + 1) * nb)
+
+            def lf(params, sl=sl):
+                s, c = params
+                return _local_loss(s, c, o_s[sl], d_s[sl], tgt_s[sl], n_total)
+
+            loss_b, g_b = jax.value_and_grad(lf)((soft, cam))
+            g_b = jax.lax.psum(g_b, RAY_AXIS)     # in flight during bucket b+1
+            loss = loss + jax.lax.psum(loss_b, RAY_AXIS)
+            grads = g_b if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, g_b)
         gs, gc = grads
         soft_state, cam_state = opt_state
         upd, soft_state = opt.update(gs, soft_state, soft)

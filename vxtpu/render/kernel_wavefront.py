@@ -75,7 +75,9 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
                     t_max: jax.Array | None = None,
                     schedule: tuple[tuple[int, int], ...] | None = None,
                     drain_buf: int | None = None,
-                    drain_steps: int = 24) -> HitRecord:
+                    drain_steps: int = 24,
+                    inner_chunk: int = 4,
+                    use_jumps: bool = True) -> HitRecord:
     """March rays o,d [N,3] against a distance field; HitRecord [N].
 
     Hit-equivalent to kernel_xla.march_xla_df (parity-tested). ``schedule``
@@ -169,7 +171,7 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
             mask_j = dda.dda_step_mask(t_ax)
             v_j, t_next_j, _, _ = dda.dda_init(ob, db, t_jump, dims)
             stuck = jnp.all(v_j == v, axis=-1)
-            do_jump = (dist > 1) & ~stuck & ~fresh
+            do_jump = (dist > 1) & ~stuck & ~fresh & use_jumps
 
             v_new = jnp.where(do_jump[..., None], v_j, v_f)
             t_next_new = jnp.where(do_jump[..., None], t_next_j, t_next_f)
@@ -214,7 +216,7 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
             )
 
         # chunked early exit: stop once the whole buffer is done
-        chunk = 4
+        chunk = inner_chunk
         n_chunks = -(-K // chunk)
 
         def cond(c):

@@ -43,26 +43,30 @@ def shadow_visibility(march, rec, o, d, lights: Lights):
 
 
 def render_rays(march, o, d, albedo_src, dims, lights: Lights,
-                settings: RenderSettings):
+                settings: RenderSettings, atlas=None, material_ids=None):
     """Rays [N,3] -> rgb [N,3] via the given march closure."""
     rec = march(o, d)
     vis = None
     if settings.shadows and settings.shading != "flat" and lights.count > 0:
         vis = shadow_visibility(march, rec, o, d, lights)
-    return shade(rec, o, d, albedo_src, dims, lights, settings, shadow_vis=vis), rec
+    rgb = shade(rec, o, d, albedo_src, dims, lights, settings,
+                shadow_vis=vis, atlas=atlas, material_ids=material_ids)
+    return rgb, rec
 
 
 def render_image(march_factory, grid: VoxelGrid, cam: Camera, lights: Lights,
                  settings: RenderSettings, height: int, width: int,
-                 accel=None) -> jax.Array:
+                 accel=None, atlas=None) -> jax.Array:
     """Full frame: [H, W, 3] float32 in [0,1].
 
     march_factory(occ_flat, dims, settings, accel) -> march closure;
-    accel is an OccupancyPyramid, a DistanceField, or None.
+    accel is an OccupancyPyramid, a DistanceField, or None;
+    atlas an optional TextureAtlas (face-textured hits, C17).
     """
     dims = grid.dims
     occ_flat = grid.occupancy.reshape(-1)
     march = march_factory(occ_flat, dims, settings, accel)
     o, d = generate_rays(cam, height, width)
-    rgb, _ = render_rays(march, o, d, grid.albedo(), dims, lights, settings)
+    rgb, _ = render_rays(march, o, d, grid.albedo(), dims, lights, settings,
+                         atlas=atlas, material_ids=occ_flat)
     return rgb.reshape(height, width, 3)

@@ -71,14 +71,32 @@ def apply_fog(rgb, t, d, hit, settings: RenderSettings):
 
 
 def shade(rec: HitRecord, o, d, albedo_src, dims, lights: Lights,
-          settings: RenderSettings, shadow_vis=None) -> jax.Array:
+          settings: RenderSettings, shadow_vis=None, atlas=None,
+          material_ids=None) -> jax.Array:
     """Full shading dispatch: HitRecord [N] -> rgb [N,3] in [0,1].
 
     albedo_src: world.grid.Albedo (1D-gather color source — never an [N,3]
     table, which TPU lane-pads 42x).
+    atlas: optional world.atlas.TextureAtlas — when given, the hit color
+    comes from the face texture (sampled at the hit point; the reference
+    sampled its atlas image2d the same way, SURVEY.md §3 C17) instead of
+    the flat per-voxel albedo. material_ids: uint8 [X*Y*Z] ids for atlas
+    row selection (defaults to albedo_src.ids when palette-mode).
     """
     idx = jnp.clip(linear_index(rec.voxel, dims), 0, albedo_src.size - 1)
     albedo = albedo_src.at(idx)
+    if atlas is not None:
+        from vxtpu.world.atlas import sample_atlas
+
+        ids_flat = material_ids if material_ids is not None else albedo_src.ids
+        if ids_flat is None:
+            raise ValueError("atlas shading needs material ids "
+                             "(palette-mode albedo or material_ids=)")
+        mat = jnp.take(ids_flat, idx, axis=0)
+        p_hit = o + rec.t[..., None] * d
+        albedo = jnp.where(rec.hit[..., None],
+                           sample_atlas(atlas, mat, p_hit, rec.normal),
+                           albedo)
     if settings.shading == "flat":
         rgb = flat_shade(albedo, rec.normal)
     else:

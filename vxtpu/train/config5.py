@@ -57,6 +57,7 @@ class Config5:
     seed: int = 7
     ckpt_every: int = 8             # frames between checkpoint saves
     sigma_solid: float = 25.0
+    grad_buckets: int = 4           # per-bucket psum pipelined with backward
 
 
 def run_config5(cfg: Config5, settings: RenderSettings,
@@ -97,7 +98,7 @@ def run_config5(cfg: Config5, settings: RenderSettings,
 
     init_fn, step_fn = make_sharded_train_step(
         settings, cfg.num_samples, mesh, lr=cfg.lr, cam_lr=cfg.cam_lr,
-        optimize_camera=True,
+        optimize_camera=True, grad_buckets=cfg.grad_buckets,
     )
 
     losses, psnrs = [], []
