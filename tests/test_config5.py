@@ -17,7 +17,7 @@ pytestmark = pytest.mark.skipif(
 
 
 CFG = Config5(dims=(16, 16, 16), height=8, width=8, num_samples=24,
-              frames=3, steps_per_frame=2, fps=24.0, lr=1e-1, cam_lr=5e-3,
+              frames=3, steps_per_frame=2, fps=24.0, lr=1e-1, cam_lr=1e-2,
               pose_error=0.05, ckpt_every=2, seed=3)
 
 

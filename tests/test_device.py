@@ -117,3 +117,51 @@ def test_custom_vjp_grads_on_device(scene):
                     jax.tree_util.tree_leaves(g_fast)):
         np.testing.assert_allclose(np.array(a), np.array(b),
                                    rtol=5e-3, atol=1e-6)
+
+
+def test_pallas_v2_mosaic_compiles_and_matches_xla(scene):
+    """The windowed (v2) Pallas kernel must Mosaic-compile — including the
+    scalar min-reduce feeding pl.ds — and agree with the XLA march on the
+    real chip."""
+    import jax
+
+    from vxtpu.render.kernel_pallas_v2 import make_march_pallas_v2
+    from vxtpu.render.kernel_xla import make_march_xla
+    from vxtpu.render.settings import RenderSettings
+
+    grid, o, d = scene
+    settings = RenderSettings()
+    occ_flat = grid.occupancy.reshape(-1)
+    ref = jax.jit(make_march_xla(occ_flat, DIMS, settings, None))
+    fast = jax.jit(make_march_pallas_v2(occ_flat, DIMS, settings,
+                                        image_shape=(32, 32)))
+    r = jax.block_until_ready(ref(o, d))
+    f = jax.block_until_ready(fast(o, d))
+    _assert_hitrec_close(r, f)
+
+
+def test_pallas_v2_128cube_on_device():
+    """v2 at a table size v1 could never reach (128^3 -> 2048 rows): the
+    VMEM-resident windowed fetch must compile and match the wavefront
+    march."""
+    import jax
+
+    from vxtpu.camera.camera import Camera
+    from vxtpu.camera.rays import generate_rays
+    from vxtpu.render.kernel_pallas_v2 import make_march_pallas_v2
+    from vxtpu.render.kernel_wavefront import make_march_wavefront
+    from vxtpu.render.settings import RenderSettings
+    from vxtpu.world import procgen
+
+    dims = (128, 128, 128)
+    grid = procgen.terrain(dims, seed=7)
+    cam = Camera.make(pos=(-80.0, 64.0, 150.0)).look_at((64.0, 64.0, 40.0))
+    o, d = generate_rays(cam, 32, 64)
+    settings = RenderSettings()
+    occ_flat = grid.occupancy.reshape(-1)
+    ref = jax.jit(make_march_wavefront(occ_flat, dims, settings))
+    fast = jax.jit(make_march_pallas_v2(occ_flat, dims, settings,
+                                        image_shape=(32, 64)))
+    r = jax.block_until_ready(ref(o, d))
+    f = jax.block_until_ready(fast(o, d))
+    _assert_hitrec_close(r, f)

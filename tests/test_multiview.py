@@ -29,7 +29,7 @@ def test_recover_shell_sphere_from_8_views():
     soft0 = SoftGrid.zeros(DIMS)
     cfg = TrainConfig(steps=120, num_samples=S, lr=2e-1, ray_batch=2048,
                       tv_sigma=1e-5, tv_rgb=1e-6, seed=0)
-    soft, losses = fit_soft_views(soft0, cams, targets, st, cfg)
+    soft, losses, _ = fit_soft_views(soft0, cams, targets, st, cfg)
     assert losses[-1] < losses[0] / 5
 
     # held-out view: the recovered grid must render a novel pose well
@@ -56,8 +56,8 @@ def test_multiview_beats_single_view():
 
     cfg = TrainConfig(steps=60, num_samples=S, lr=2e-1, ray_batch=2048,
                       tv_sigma=1e-5, tv_rgb=1e-6, seed=0)
-    multi, _ = fit_soft_views(SoftGrid.zeros(DIMS), cams, targets, st, cfg)
-    single, _ = fit_soft_views(SoftGrid.zeros(DIMS), cams[:1], targets[:1],
+    multi, _, _ = fit_soft_views(SoftGrid.zeros(DIMS), cams, targets, st, cfg)
+    single, _, _ = fit_soft_views(SoftGrid.zeros(DIMS), cams[:1], targets[:1],
                                st, cfg)
     p_multi = float(psnr(render_soft_image(multi, held, st, HW, HW, S), ref))
     p_single = float(psnr(render_soft_image(single, held, st, HW, HW, S), ref))

@@ -1,0 +1,134 @@
+"""Parity: the windowed Pallas march kernel v2 (render/kernel_pallas_v2,
+interpret mode on CPU) must reproduce the per-ray oracle — including tiny
+windows that force heavy stalling, image-patch tiling, and t_max shadow
+semantics. Same contract as v1 (tests/test_pallas.py, SURVEY.md §5)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vxtpu.camera.camera import Camera
+from vxtpu.camera.rays import generate_rays
+from vxtpu.render.kernel_pallas_v2 import march_pallas_v2, make_march_pallas_v2
+from vxtpu.render.kernel_ref import make_march_ref
+from vxtpu.render.settings import RenderSettings
+from vxtpu.world import procgen
+from vxtpu.world.packed import build_packed_morton, morton3
+
+DIMS = (32, 32, 32)
+
+
+def scenes():
+    return {
+        "box": procgen.solid_box(DIMS, (8, 8, 8), (24, 24, 20)),
+        "sphere": procgen.shell_sphere(DIMS),
+        "terrain": procgen.terrain(DIMS, seed=11),
+    }
+
+
+def cameras():
+    return {
+        "outside": Camera.make(pos=(-20.0, 16.0, 40.0)).look_at((16.0, 16.0, 12.0)),
+        "inside": Camera.make(pos=(16.0, 16.0, 28.0), yaw=2.2, pitch=-0.5),
+    }
+
+
+def test_morton_is_bijection():
+    S = 16
+    ii, jj, kk = jnp.meshgrid(jnp.arange(S), jnp.arange(S), jnp.arange(S),
+                              indexing="ij")
+    m = np.asarray(morton3(ii, jj, kk)).reshape(-1)
+    assert sorted(m.tolist()) == list(range(S ** 3))
+
+
+def test_morton_table_roundtrip():
+    """Every cell's packed word lands at its morton index."""
+    grid = scenes()["terrain"]
+    from vxtpu.world.packed import _packed_words, build_packed
+
+    acc_m = build_packed_morton(grid.occupancy)
+    words_rm = np.asarray(_packed_words(grid.occupancy, 64))
+    flat_m = np.asarray(acc_m.words).reshape(-1)
+    S = DIMS[0] // 2
+    for (x, y, z) in [(0, 0, 0), (3, 7, 11), (15, 15, 15), (8, 1, 14)]:
+        mi = int(morton3(jnp.int32(x), jnp.int32(y), jnp.int32(z)))
+        assert flat_m[mi] == words_rm[x, y, z]
+
+
+def _check(r, f, min_agree=1.0):
+    hit_r, hit_f = np.array(r.hit), np.array(f.hit)
+    agree = (hit_r == hit_f).mean()
+    assert agree >= min_agree, f"hit mask agreement {agree}"
+    both = hit_r & hit_f
+    np.testing.assert_allclose(
+        np.array(r.t)[both], np.array(f.t)[both], rtol=1e-4, atol=1e-3
+    )
+    same_vox = (np.array(r.voxel)[both] == np.array(f.voxel)[both]).all(axis=-1)
+    assert same_vox.mean() > 0.998
+    nr, nf = np.array(r.normal)[both], np.array(f.normal)[both]
+    assert (np.abs(nr - nf) < 1e-6).all(axis=-1).mean() > 0.995
+
+
+@pytest.mark.parametrize("scene_name", ["box", "sphere", "terrain"])
+@pytest.mark.parametrize("cam_name", ["outside", "inside"])
+def test_pallas_v2_march_parity(scene_name, cam_name):
+    grid = scenes()[scene_name]
+    cam = cameras()[cam_name]
+    settings = RenderSettings()
+    occ_flat = grid.occupancy.reshape(-1)
+    ref = make_march_ref(occ_flat, DIMS, settings, None)
+    fast = make_march_pallas_v2(occ_flat, DIMS, settings,
+                                image_shape=(32, 32), interpret=True)
+    o, d = generate_rays(cam, 32, 32)
+    _check(ref(o, d), fast(o, d), min_agree=0.998)
+
+
+@pytest.mark.parametrize("window", [2, 4, 64])
+def test_pallas_v2_window_invariance(window):
+    """The window size is a performance knob, never a semantics knob: a
+    2-row window forces heavy stalling yet must produce identical results
+    to a window covering the whole table."""
+    grid = scenes()["terrain"]
+    settings = RenderSettings()
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["outside"]
+    o, d = generate_rays(cam, 16, 16)
+    ms = settings.resolve_max_steps(DIMS)
+    a = march_pallas_v2(o, d, accel, DIMS, ms, image_shape=(16, 16),
+                        window=window, interpret=True)
+    b = march_pallas_v2(o, d, accel, DIMS, ms, image_shape=(16, 16),
+                        window=accel.rows, interpret=True)
+    assert (np.array(a.hit) == np.array(b.hit)).all()
+    h = np.array(a.hit)
+    np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)
+    assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()
+
+
+def test_pallas_v2_tmax_shadow_semantics():
+    grid = scenes()["terrain"]
+    occ_flat = grid.occupancy.reshape(-1)
+    settings = RenderSettings()
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["outside"]
+    o, d = generate_rays(cam, 16, 16)
+    tm = jnp.full((o.shape[0],), 18.0, jnp.float32)
+    ref = make_march_ref(occ_flat, DIMS, settings, None)
+    r = ref(o, d, t_max=tm)
+    f = march_pallas_v2(o, d, accel, DIMS, settings.resolve_max_steps(DIMS),
+                        t_max=tm, image_shape=(16, 16), interpret=True)
+    assert (np.array(r.hit) == np.array(f.hit)).mean() > 0.99
+
+
+def test_pallas_v2_flat_fallback_and_padding():
+    """No image_shape (scanline tiles) and N not a tile multiple."""
+    grid = scenes()["box"]
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["outside"]
+    o, d = generate_rays(cam, 9, 13)  # 117 rays
+    rec = march_pallas_v2(o, d, accel, DIMS, 128, interpret=True)
+    assert rec.hit.shape == (117,)
+    assert bool(rec.hit.any())
+    # non-tile-multiple image shape exercises 2D padding
+    rec2 = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(9, 13),
+                           interpret=True)
+    assert (np.array(rec.hit) == np.array(rec2.hit)).all()

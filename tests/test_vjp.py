@@ -145,6 +145,6 @@ def test_fit_soft_uses_custom_vjp():
     target = render_soft_image(truth, cam, st, 12, 12, 32)
     soft0 = SoftGrid.zeros(dims)
     cfg = TrainConfig(steps=12, num_samples=32, use_custom_vjp=True)
-    soft, _, losses = fit_soft(soft0, cam, target, st, cfg)
+    soft, _, losses, _ = fit_soft(soft0, cam, target, st, cfg)
     assert losses[-1] < losses[0]
     assert all(np.isfinite(losses))

@@ -107,3 +107,57 @@ def test_wavefront_jit_and_empty_grid():
     fn = jax.jit(lambda o, d, f: march_wavefront(o, d, f, (16, 16, 16), 50))
     rec = fn(o, d, df.field.reshape(-1))
     assert not bool(jnp.any(rec.hit))
+
+
+def test_adaptive_schedule_inside_camera(scene):
+    """A camera INSIDE the grid makes 100% of rays AABB-valid — the r2
+    hardcoded 9/16 round-1 buffer would overflow into drain rounds. The
+    valid_count-adaptive default must size round 1 to hold every valid ray
+    and still match the reference exactly."""
+    from vxtpu.render.kernel_wavefront import (_default_schedule,
+                                               count_valid_rays)
+
+    grid, df, _, _ = scene
+    cam = Camera.make(pos=(16.0, 16.0, 20.0), fov_y_deg=70.0).look_at(
+        (30.0, 16.0, 8.0))
+    o, d = generate_rays(cam, 24, 24)
+    ms = sum(DIMS) + 2
+    vc = count_valid_rays(o, d, DIMS)
+    assert vc == o.shape[0], "inside camera: every ray is valid"
+    sched = _default_schedule(o.shape[0], ms, vc)
+    assert sched[0][0] >= vc, "round 1 must fit every valid ray"
+
+    ref = march_xla_df(o, d, df.field.reshape(-1), DIMS, ms)
+    wf = march_wavefront(o, d, df.field.reshape(-1), DIMS, ms,
+                         valid_count=vc)
+    _assert_same(wf, ref, "adaptive schedule, inside camera")
+
+
+def test_wavefront_stats_accounting(scene):
+    """stats=True execution counters are self-consistent: counts bounded by
+    buffers, gathered lanes == sum(B*steps), and results identical to the
+    stats=False path."""
+    grid, df, o, d = scene
+    ms = sum(DIMS) + 2
+    schedule = ((256, 4), (128, 8))
+    rec_plain = march_wavefront(o, d, df.field.reshape(-1), DIMS, ms,
+                                schedule=schedule, drain_buf=64,
+                                drain_steps=6)
+    rec, st = march_wavefront(o, d, df.field.reshape(-1), DIMS, ms,
+                              schedule=schedule, drain_buf=64,
+                              drain_steps=6, stats=True)
+    _assert_same(rec, rec_plain, "stats path")
+    assert int(st["valid"]) == int(
+        jnp.sum(jnp.asarray(count_valid_rays_helper(o, d))))
+    lanes = sum(B * int(s) for (B, _), s in zip(schedule, st["round_steps"]))
+    lanes += 64 * int(st["drain_steps_total"])
+    assert int(st["gathered_lanes"]) == lanes
+    for (B, _), cnt in zip(schedule, st["round_counts"]):
+        assert 0 <= int(cnt) <= B
+
+
+def count_valid_rays_helper(o, d):
+    from vxtpu.render import dda
+
+    _, _, valid = dda.ray_grid_clip(o, d, DIMS)
+    return valid.astype(jnp.int32)

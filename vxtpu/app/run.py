@@ -75,6 +75,10 @@ def _kernel_factory(name: str):
         from vxtpu.render.kernel_pallas import make_march_pallas
 
         return make_march_pallas
+    if name == "pallas2":
+        from vxtpu.render.kernel_pallas_v2 import make_march_pallas_v2
+
+        return make_march_pallas_v2
     if name == "pallas-interpret":
         import functools
 
@@ -94,22 +98,33 @@ def cmd_render(args) -> int:
     import jax
 
     from vxtpu.app.configs import CONFIGS
+    from vxtpu.obs.log import get_logger
     from vxtpu.render.pipeline import render_image
 
+    log = get_logger()
     cfg = CONFIGS[args.config]
     dims = (args.dims,) * 3 if args.dims else None
     h = args.height or cfg.height
     w = args.width or cfg.width
     grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
     factory = _kernel_factory(args.kernel)
+    atlas = None
+    if getattr(args, "atlas", False):
+        from vxtpu.world.atlas import build_procedural_atlas
+
+        atlas = build_procedural_atlas(tex_size=args.atlas_size)
+        log.info("face-texture atlas enabled (%d materials, %dx%d texels)",
+                 atlas.num_materials, args.atlas_size, args.atlas_size)
 
     # world arrays are jit arguments (closure constants would be inlined
     # into the compile payload — fatal at 512^3 on the axon tunnel)
     fn = jax.jit(
-        lambda g, a: render_image(factory, g, cam, lights, cfg.settings, h, w, a)
+        lambda g, a, at: render_image(factory, g, cam, lights, cfg.settings,
+                                      h, w, a, atlas=at)
     )
-    img = jax.block_until_ready(fn(grid, accel))
+    img = jax.block_until_ready(fn(grid, accel, atlas))
     _save_png(args.out, img)
+    log.info("wrote %s [%dx%d] config=%s", args.out, h, w, cfg.name)
     print(f"wrote {args.out} [{h}x{w}] config={cfg.name}")
     return 0
 
@@ -168,8 +183,10 @@ def cmd_train(args) -> int:
     from vxtpu.camera import paths
     from vxtpu.camera.camera import Camera
     from vxtpu.render.soft import SoftGrid, render_soft_image
-    from vxtpu.train.checkpoint import load_checkpoint, save_checkpoint
-    from vxtpu.train.loop import TrainConfig, fit_soft, fit_soft_views
+    from vxtpu.train.checkpoint import (load_checkpoint, load_opt_state,
+                                        save_checkpoint)
+    from vxtpu.train.loop import (TrainConfig, fit_soft, fit_soft_views,
+                                  make_optimizer)
     from vxtpu.world import procgen
 
     cfg = CONFIGS[args.config]
@@ -190,12 +207,15 @@ def cmd_train(args) -> int:
                      use_custom_vjp=args.custom_vjp)
     start_step = 0
     soft = SoftGrid.zeros(dims)
+    opt_state = None
     if args.resume:
         soft, _, start_step, _ = load_checkpoint(args.resume)
         tc = TrainConfig(steps=max(args.steps - start_step, 0),
                          num_samples=samples, ray_batch=args.ray_batch,
                          seed=cfg.seed + start_step,
                          use_custom_vjp=args.custom_vjp)
+        # adam moments resume too (None for pre-opt-state checkpoints)
+        opt_state = load_opt_state(args.resume, make_optimizer(tc).init(soft))
 
     log = lambda i, l: print(f"step {start_step + i:5d}  loss {l:.6f}")
     if args.views > 1:
@@ -206,20 +226,23 @@ def cmd_train(args) -> int:
             render_soft_image(truth, c, settings, h, w, samples)
             for c in cams
         ])
-        soft, losses = fit_soft_views(soft, cams, target, settings, tc,
-                                      log_fn=log)
+        soft, losses, opt_state = fit_soft_views(soft, cams, target, settings,
+                                                 tc, log_fn=log,
+                                                 opt_state=opt_state)
         cam_out, view0 = cams[0], target[0]
     else:
         cam_out = Camera.make(pos=(-0.7 * X, 0.5 * Y, 1.1 * Z)).look_at(
             (0.5 * X, 0.5 * Y, 0.27 * Z))
         view0 = render_soft_image(truth, cam_out, settings, h, w, samples)
-        soft, cam_out, losses = fit_soft(soft, cam_out, view0, settings, tc,
-                                         log_fn=log)
+        soft, cam_out, losses, opt_state = fit_soft(soft, cam_out, view0,
+                                                    settings, tc, log_fn=log,
+                                                    opt_state=opt_state)
 
     os.makedirs(args.out, exist_ok=True)
     save_checkpoint(os.path.join(args.out, "ckpt.npz"), soft, cam_out,
                     step=start_step + tc.steps,
-                    extra={"losses": np.asarray(losses)})
+                    extra={"losses": np.asarray(losses)},
+                    opt_state=opt_state)
     final = render_soft_image(soft, cam_out, settings, h, w, samples)
     _save_png(os.path.join(args.out, "target.png"), view0)
     _save_png(os.path.join(args.out, "fit.png"), final)
@@ -379,11 +402,15 @@ def main(argv=None) -> int:
                         default="distfield")
         sp.add_argument("--kernel",
                         choices=["xla", "wavefront", "ref", "pallas",
-                                 "pallas-interpret"],
+                                 "pallas2", "pallas-interpret"],
                         default="xla")
 
     sp = sub.add_parser("render", help="render one frame to PNG")
     common(sp)
+    sp.add_argument("--atlas", action="store_true",
+                    help="face-texture hits from a procedural atlas (C17)")
+    sp.add_argument("--atlas-size", type=int, default=16,
+                    help="atlas texels per voxel face edge")
     sp.add_argument("--out", default="/tmp/vxtpu_frame.png")
     sp.set_defaults(fn=cmd_render)
 

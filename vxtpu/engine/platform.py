@@ -79,8 +79,14 @@ def init_multihost(coordinator_address: str | None = None,
 
     With no arguments, jax auto-detects the cluster from the TPU metadata /
     environment (the normal pod-slice path); explicit args support manual
-    CPU/GPU clusters. Idempotent: safe to call when already initialized or
-    when running single-process (both become no-ops).
+    CPU/GPU clusters. Idempotent: safe to call when already initialized.
+
+    Failure semantics (a silent fallback here would let every host train a
+    divergent local-only replica and report success): only two outcomes are
+    swallowed — "already initialized" (idempotence) and "no cluster
+    detected" when auto-detecting (the legitimate single-process path, and
+    then only if the environment really looks single-process). Any other
+    initialize() failure re-raises.
     """
     try:
         jax.distributed.initialize(
@@ -88,13 +94,24 @@ def init_multihost(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:
-        # already initialized, or single-process with no cluster env
-        if "already" not in str(e).lower() and num_processes not in (None, 1):
-            raise
-    except ValueError:
-        if num_processes not in (None, 1):
-            raise
+    except (RuntimeError, ValueError) as e:
+        msg = str(e).lower()
+        if "already" in msg:  # idempotent re-entry
+            return platform_info()
+        auto_detect = (coordinator_address is None and num_processes is None
+                       and process_id is None)
+        no_cluster = ("could not find" in msg or "unable to" in msg
+                      or "cannot" in msg or "not set" in msg
+                      or "auto-detect" in msg or "autodetect" in msg
+                      or isinstance(e, ValueError))
+        if auto_detect and no_cluster and jax.process_count() <= 1:
+            # genuine single-process run: initialize() has nothing to join
+            return platform_info()
+        raise RuntimeError(
+            "jax.distributed.initialize() failed — refusing to continue "
+            "as independent single-host replicas (each would train a "
+            f"divergent copy and report success): {e}"
+        ) from e
     return platform_info()
 
 

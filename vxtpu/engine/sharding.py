@@ -101,10 +101,12 @@ def render_image_sharded(march_factory, grid, cam: Camera, lights, settings,
 
 def render_soft_image_sharded(soft: SoftGrid, cam: Camera,
                               settings: RenderSettings, height: int,
-                              width: int, num_samples: int, mesh: Mesh):
+                              width: int, num_samples: int, mesh: Mesh,
+                              lights=None):
     """[H,W,3] soft-volumetric frame with rays sharded over the mesh and the
     grid replicated — the forward-render half of config 5 (and the target
-    generator for its per-frame optimization)."""
+    generator for its per-frame optimization). ``lights`` (replicated)
+    enables the lit soft mode."""
     n_shards = mesh.devices.size
     o, d = generate_rays(cam, height, width)
     o, d, n_real = _pad_rays(o, d, n_shards)
@@ -112,15 +114,16 @@ def render_soft_image_sharded(soft: SoftGrid, cam: Camera,
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P()),
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P()),
         out_specs=P(RAY_AXIS),
         check_vma=False,
     )
-    def _render_shard(o_s, d_s, soft_s):
-        rgb, _ = render_soft_rays(soft_s, o_s, d_s, settings, num_samples)
+    def _render_shard(o_s, d_s, soft_s, lights_s):
+        rgb, _ = render_soft_rays(soft_s, o_s, d_s, settings, num_samples,
+                                  lights_s)
         return rgb
 
-    rgb = _render_shard(o, d, soft)
+    rgb = _render_shard(o, d, soft, lights)
     return rgb[:n_real].reshape(height, width, 3)
 
 
@@ -128,7 +131,8 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
                             mesh: Mesh, lr: float = 5e-2, cam_lr: float = 1e-3,
                             optimize_camera: bool = True,
                             grad_buckets: int = 1,
-                            optimizer=None, cam_optimizer=None):
+                            optimizer=None, cam_optimizer=None,
+                            lights=None, use_custom_vjp: bool = False):
     """Jitted SPMD training step for config 5: rays sharded, grid replicated,
     grads psum'd over ICI, identical adam update on every device.
 
@@ -142,6 +146,11 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     critical path). Summing psums == psum'ing the sum up to fp
     reassociation; equality with the monolithic path is locked by
     tests/test_sharding.py::test_bucketed_psum_matches_monolithic.
+
+    lights (replicated, not optimized) enables the lit soft mode;
+    use_custom_vjp renders through the O(N_rays + grid) custom VJP
+    (render/vjp.py) so backward residual memory stays flat at pod-scale ray
+    counts — the path config 5 runs at 1080p.
 
     Returns (init_fn, step_fn):
       init_fn(soft, cam) -> opt_state
@@ -166,7 +175,14 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
         R = jnp.stack([fwd, right, up], axis=1)          # [3(world),3(cam)]
         d_world = d_s @ R.T
         o_world = jnp.broadcast_to(cam_p.pos, o_s.shape) + o_s
-        pred, _ = render_soft_rays(soft, o_world, d_world, settings, num_samples)
+        if use_custom_vjp:
+            from vxtpu.render.vjp import render_soft_rays_fast
+
+            pred = render_soft_rays_fast(soft, o_world, d_world, settings,
+                                         num_samples, lights)
+        else:
+            pred, _ = render_soft_rays(soft, o_world, d_world, settings,
+                                       num_samples, lights)
         # mean over ALL rays: local sum / n_total, then psum
         return jnp.sum((pred - tgt_s) ** 2) / (n_total * 3.0)
 
@@ -180,9 +196,11 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     def _step(soft, cam, opt_state, o_s, d_s, tgt_s):
         n_local = o_s.shape[0]
         n_total = n_local * mesh.devices.size
+        # grad_buckets is a tuning knob, not a shape constraint: fall back
+        # to the largest divisor of n_local that is <= the requested count.
         B = max(1, min(grad_buckets, n_local))
-        assert n_local % B == 0, (
-            f"local ray shard {n_local} must divide into {B} grad buckets")
+        while n_local % B != 0:
+            B -= 1
         nb = n_local // B
 
         loss = jnp.float32(0.0)

@@ -1,4 +1,4 @@
 from vxtpu.obs.log import get_logger
-from vxtpu.obs.metrics import FrameTimer, MetricsSink
+from vxtpu.obs.metrics import MetricsSink
 
-__all__ = ["get_logger", "FrameTimer", "MetricsSink"]
+__all__ = ["get_logger", "MetricsSink"]

@@ -27,10 +27,10 @@ oracle render/kernel_ref — see tests/test_pallas.py.
 
 Scaling note: the one-hot fetch is O(table_rows) per step, so this v1 is
 intended for grids whose packed table stays small (64^3 -> 256 rows,
-128^3 -> 2048). The planned v2 restricts the one-hot to a dynamic
-[base : base+W] row window around the tile's ray cluster (scalar base via
-``pl.ds``), dropping the per-step cost to O(W); divergent rays stall until
-the window reaches them.
+128^3 -> 2048). The flagship-scale successor is render/kernel_pallas_v2.py:
+a Morton-ordered table + dynamic [base : base+W] row window (``pl.ds``,
+scalar base from a min-reduce) drops the per-step cost to O(W) and runs at
+512^3 (131072 rows, VMEM-resident). v1 is kept as the simpler parity rung.
 """
 
 from __future__ import annotations

@@ -1,0 +1,388 @@
+"""Pallas TPU march kernel v2 — the flagship-scale (512³) successor to
+render/kernel_pallas.py, implementing the windowed-fetch design that file
+documents as "planned v2" (SURVEY.md §7.1; the TPU-native rebuild of the
+reference's per-pixel OpenCL hot loop, SURVEY.md §4.3).
+
+What changed vs v1:
+
+  * TABLE LAYOUT: the packed coarse-cell word table (world/packed.py) is
+    linearized in Morton (z-order) cell order (build_packed_morton), so a
+    spatially-compact cluster of ray positions maps to a compact row RANGE
+    of the [rows, 128] table.
+  * FETCH: one-hot over a dynamic W-row window ``tbl_ref[pl.ds(base, W)]``
+    around the tile's ray cluster (base = min active row, a scalar
+    min-reduce) instead of one-hot over ALL rows — O(W) MXU work per step
+    instead of O(rows), which is what unlocks 512³ (131072 rows, 64 MB,
+    VMEM-resident on v5e's 128 MB; v1's full-row one-hot was unusable past
+    128³).
+  * STALLS: a ray whose row falls outside the current window simply does
+    not advance this iteration (its target voxel is recomputed identically
+    next round). The min-row active ray is always in-window, so every
+    iteration makes progress and termination is guaranteed; divergence
+    costs iterations, never correctness.
+  * TILING: rays are blocked as [8, 128] IMAGE PATCHES (pass image_shape)
+    rather than scanline runs — adjacent pixels march through adjacent
+    cells, which is what keeps the cluster's Morton range narrow. This is
+    the TPU analog of the GPU's spatial warp tiling.
+
+Semantics are identical to kernel_pallas / kernel_xla.march_xla_df /
+kernel_ref (same jump rule: only provably-empty cells are skipped) —
+parity-locked in tests/test_pallas_v2.py including forced tiny windows
+that exercise heavy stalling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vxtpu.render.types import HitRecord
+from vxtpu.world.packed import PackedMorton, build_packed_morton
+
+TILE = (8, 128)
+TILE_RAYS = TILE[0] * TILE[1]
+EPS = 1e-4
+BIG = 3.0e30
+BIG_T = 1e30
+
+
+def _part1by2(v):
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _morton3(x, y, z):
+    return _part1by2(x) | (_part1by2(y) << 1) | (_part1by2(z) << 2)
+
+
+def _lookup_window(win, row_rel, lane, W):
+    """win [W,128] f32, row_rel/lane int32 [8,128] -> win[row_rel, lane].
+
+    Same MXU one-hot gather as v1's _lookup, restricted to the window:
+    per static ray-column c, G = rowOH @ win selects each ray's window row,
+    then a lane-one-hot reduce picks the lane. Out-of-window rows must be
+    pre-clamped by the caller (their results are masked out).
+    """
+    rt = jnp.transpose(row_rel)                   # [128, 8]
+    lt = jnp.transpose(lane)                      # [128, 8]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    cols = []
+    for c in range(8):
+        rc = rt[:, c:c + 1]                       # [128, 1]
+        lc = lt[:, c:c + 1]
+        rowoh = (iota_w == rc).astype(jnp.float32)
+        g = jnp.dot(rowoh, win, preferred_element_type=jnp.float32)
+        laneoh = (iota_l == lc).astype(jnp.float32)
+        cols.append(jnp.sum(g * laneoh, axis=1, keepdims=True))
+    return jnp.transpose(jnp.concatenate(cols, axis=1))  # [8,128]
+
+
+def _childbit(cb, vx, vy, vz):
+    """Bit of the 8-bit child mask for fine voxel (vx,vy,vz) in its cell."""
+    ci = ((vx & 1) << 2) | ((vy & 1) << 1) | (vz & 1)
+    bit = jnp.zeros_like(cb)
+    for k in range(8):
+        bit = jnp.where(ci == k, (cb >> k) & 1, bit)
+    return bit
+
+
+def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                  tbl_ref,
+                  hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
+                  steps_ref,
+                  *, dims, max_steps, window):
+    X, Y, Z = dims
+    rows = tbl_ref.shape[0]
+    W = window
+
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    t_max = tmax_ref[:]
+
+    def inv(d):
+        tiny = jnp.abs(d) < 1e-12
+        return jnp.where(tiny, BIG, 1.0 / jnp.where(tiny, 1.0, d))
+
+    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+
+    # ---- slab clip against [0,X]x[0,Y]x[0,Z] (dda.ray_grid_clip)
+    def slab(o, iv, dim):
+        t0 = (0.0 - o) * iv
+        t1 = (dim - o) * iv
+        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+    nx, fx = slab(ox, ivx, float(X))
+    ny, fy = slab(oy, ivy, float(Y))
+    nz, fz = slab(oz, ivz, float(Z))
+    t_enter = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, 0.0))
+    t_exit = jnp.minimum(jnp.minimum(fx, fy), fz)
+    valid = t_enter <= t_exit
+    t_end = jnp.minimum(t_exit, t_max)
+    valid = valid & (t_enter <= t_end)
+
+    sgx = jnp.where(dx >= 0, 1, -1).astype(jnp.int32)
+    sgy = jnp.where(dy >= 0, 1, -1).astype(jnp.int32)
+    sgz = jnp.where(dz >= 0, 1, -1).astype(jnp.int32)
+
+    def reinit(t):
+        px = ox + (t + EPS) * dx
+        py = oy + (t + EPS) * dy
+        pz = oz + (t + EPS) * dz
+        vx = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, X - 1)
+        vy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Y - 1)
+        vz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, Z - 1)
+        inside = (
+            (px >= 0) & (px < X) & (py >= 0) & (py < Y) & (pz >= 0) & (pz < Z)
+        )
+        return vx, vy, vz, inside
+
+    # entry face: axis whose near-slab t is largest (ties -> lowest axis)
+    tn_max = jnp.maximum(jnp.maximum(nx, ny), nz)
+    eax = jnp.where(nx >= tn_max, 0, jnp.where(ny >= tn_max, 1, 2))
+    esg = jnp.where(eax == 0, sgx, jnp.where(eax == 1, sgy, sgz))
+
+    vx0, vy0, vz0, _ = reinit(t_enter)
+    zero = jnp.zeros(TILE, jnp.int32)
+    # flags ride the while_loop carry as int32 (i1 vector carries trip a
+    # Mosaic "unsupported target bitwidth" on this toolchain)
+    state = (
+        vx0, vy0, vz0,                                   # current voxel
+        zero, zero,                                      # cb, dist (unfetched)
+        zero,                                            # hit
+        jnp.full(TILE, BIG_T, jnp.float32),              # t_hit
+        zero, zero,                                      # hit axis / sign
+        zero,                                            # steps
+        (~valid).astype(jnp.int32),                      # done
+        valid.astype(jnp.int32),                         # fresh (entry fetch)
+        jnp.int32(0),                                    # iter
+    )
+    # stalls consume iterations without consuming step budget; every
+    # iteration the min-row ray progresses, so this bound is unreachable in
+    # practice (the all-done early exit fires first) but guarantees
+    # termination even under full serialization.
+    iter_cap = jnp.int32(max_steps * 8 + TILE_RAYS)
+
+    def cond(s):
+        done, it = s[10], s[12]
+        return (it < iter_cap) & (jnp.min(done) == 0)
+
+    def body(s):
+        (vx, vy, vz, cb, dist, hit, t_hit, rax, rsg, steps, done, fresh,
+         it) = s
+        active = done == 0
+        freshb = fresh == 1
+
+        # --- non-fresh target: empty-box jump (D>=1) or fine DDA step
+        cxf = (vx >> 1).astype(jnp.float32)
+        cyf = (vy >> 1).astype(jnp.float32)
+        czf = (vz >> 1).astype(jnp.float32)
+        df = dist.astype(jnp.float32)
+        big_jump = dist > 0
+
+        def axis_t(vf, cf, o, d, iv):
+            lo = jnp.where(big_jump, 2.0 * cf - 2.0 * (df - 1.0), vf)
+            hi = jnp.where(big_jump, 2.0 * cf + 2.0 * df, vf + 1.0)
+            bound = jnp.where(d >= 0, hi, lo)
+            t = (bound - o) * iv
+            return jnp.where(jnp.abs(d) < 1e-12, BIG, t)
+
+        tx = axis_t(vx.astype(jnp.float32), cxf, ox, dx, ivx)
+        ty = axis_t(vy.astype(jnp.float32), cyf, oy, dy, ivy)
+        tz = axis_t(vz.astype(jnp.float32), czf, oz, dz, ivz)
+        t_new = jnp.minimum(jnp.minimum(tx, ty), tz)
+        mx = (tx <= ty) & (tx <= tz)
+        my = ~mx & (ty <= tz)
+        mz = ~mx & ~my
+        ax = jnp.where(mx, 0, jnp.where(my, 1, 2))
+        sg = jnp.where(mx, sgx, jnp.where(my, sgy, sgz))
+
+        nvx, nvy, nvz, inside = reinit(t_new)
+        # progress guard: fp rounding re-landed in the same voxel -> force a
+        # single DDA step along the crossing axis
+        stuck = (nvx == vx) & (nvy == vy) & (nvz == vz)
+        nvx = jnp.where(stuck & mx, jnp.clip(vx + sgx, 0, X - 1), nvx)
+        nvy = jnp.where(stuck & my, jnp.clip(vy + sgy, 0, Y - 1), nvy)
+        nvz = jnp.where(stuck & mz, jnp.clip(vz + sgz, 0, Z - 1), nvz)
+        fx_ = vx + sgx
+        fy_ = vy + sgy
+        fz_ = vz + sgz
+        # boolean algebra, not where-selects: Mosaic rejects vselects whose
+        # VALUE operands are i1 vectors
+        f_in = (
+            (mx & (fx_ >= 0) & (fx_ < X))
+            | (my & (fy_ >= 0) & (fy_ < Y))
+            | (mz & (fz_ >= 0) & (fz_ < Z))
+        )
+        inside = (stuck & f_in) | (~stuck & inside)
+
+        # --- fresh override: target is the entry voxel itself
+        nvx = jnp.where(freshb, vx, nvx)
+        nvy = jnp.where(freshb, vy, nvy)
+        nvz = jnp.where(freshb, vz, nvz)
+        t_new = jnp.where(freshb, t_enter, t_new)
+        ax = jnp.where(freshb, eax, ax)
+        sg = jnp.where(freshb, esg, sg)
+        inside = freshb | inside
+
+        past_end = t_new > t_end
+        terminate = active & ((~inside) | past_end)      # no fetch needed
+        need = active & inside & (~past_end)
+
+        # --- Morton-windowed fetch
+        widx = _morton3(nvx >> 1, nvy >> 1, nvz >> 1)
+        row = widx >> 7
+        lane = widx & 127
+        base = jnp.min(jnp.where(need, row, rows - 1))
+        base = jnp.minimum(base, rows - W)
+        base = jnp.maximum(base, 0)
+        row_rel = row - base
+        in_win = (row_rel >= 0) & (row_rel < W)
+        fetch = need & in_win                            # progress this iter
+        win = tbl_ref[pl.ds(base, W), :]
+        word = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane,
+                              W).astype(jnp.int32)
+        ncb = word & 255
+        ndist = word >> 8
+        solid = _childbit(ncb, nvx, nvy, nvz) == 1
+
+        new_hit = fetch & solid
+        newly_done = new_hit | terminate
+        upd = fetch | terminate
+
+        sel = lambda c, a, b: jnp.where(c, a, b)
+        return (
+            sel(fetch, nvx, vx), sel(fetch, nvy, vy), sel(fetch, nvz, vz),
+            sel(fetch, ncb, cb), sel(fetch, ndist, dist),
+            hit | new_hit.astype(jnp.int32),
+            sel(new_hit, t_new, t_hit),
+            sel(new_hit, ax, rax),
+            sel(new_hit, sg, rsg),
+            steps + (fetch & ~freshb).astype(jnp.int32),
+            done | newly_done.astype(jnp.int32),
+            fresh & (~upd).astype(jnp.int32),
+            it + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+    vx, vy, vz, _, _, hit, t_hit, rax, rsg, steps, _, _, _ = s
+
+    hit_ref[:] = hit
+    t_ref[:] = t_hit
+    vx_ref[:] = vx
+    vy_ref[:] = vy
+    vz_ref[:] = vz
+    ax_ref[:] = rax
+    sg_ref[:] = rsg
+    steps_ref[:] = steps
+
+
+def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
+                    dims: tuple[int, int, int], max_steps: int,
+                    t_max: jax.Array | None = None,
+                    image_shape: tuple[int, int] | None = None,
+                    window: int = 16,
+                    interpret: bool = False) -> HitRecord:
+    """March rays o,d [N,3] through the Morton packed-accel world.
+
+    image_shape=(H, W) with N == H*W tiles rays as [8,128] image PATCHES
+    (spatially-coherent clusters -> narrow Morton windows); None falls back
+    to scanline-order tiles (correct, more stalls). Hit-equivalent to
+    kernel_pallas / kernel_xla.march_xla_df / kernel_ref (parity-tested).
+    """
+    n = o.shape[0]
+    rows = accel.rows
+    window = min(window, rows)
+    if t_max is None:
+        t_max = jnp.full((n,), BIG_T, dtype=jnp.float32)
+
+    if image_shape is not None and image_shape[0] * image_shape[1] == n:
+        H, W_img = image_shape
+        pad_h = (-H) % TILE[0]
+        pad_w = (-W_img) % TILE[1]
+        Hp, Wp = H + pad_h, W_img + pad_w
+
+        def to2d(x, fill):
+            img = x.reshape(H, W_img)
+            return jnp.pad(img, ((0, pad_h), (0, pad_w)),
+                           constant_values=fill)
+
+        chans = [to2d(o[:, 0], -10.0), to2d(o[:, 1], -10.0),
+                 to2d(o[:, 2], -10.0),
+                 to2d(d[:, 0], 0.0), to2d(d[:, 1], 0.0), to2d(d[:, 2], -1.0),
+                 to2d(t_max, 0.0)]
+        grid = (Hp // TILE[0], Wp // TILE[1])
+        ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((Hp, Wp), t)
+                     for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
+                               jnp.int32, jnp.int32, jnp.int32, jnp.int32)]
+        unpack = lambda x: x[:H, :W_img].reshape(-1)
+    else:
+        pad = (-n) % TILE_RAYS
+        if pad:
+            # padding rays point away from the grid -> immediate miss
+            o = jnp.concatenate([o, jnp.full((pad, 3), -10.0, o.dtype)])
+            d = jnp.concatenate(
+                [d, jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], d.dtype),
+                             (pad, 1))])
+            t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+        nt = (n + pad) // TILE_RAYS
+        tile3 = lambda x: x.reshape(nt * TILE[0], TILE[1])
+        chans = [tile3(o[:, 0]), tile3(o[:, 1]), tile3(o[:, 2]),
+                 tile3(d[:, 0]), tile3(d[:, 1]), tile3(d[:, 2]),
+                 tile3(t_max)]
+        grid = (nt, 1)
+        ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), t)
+                     for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
+                               jnp.int32, jnp.int32, jnp.int32, jnp.int32)]
+        unpack = lambda x: x.reshape(-1)[:n]
+
+    tbl_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_march_kernel, dims=dims, max_steps=max_steps,
+                             window=window)
+    table_bytes = rows * 128 * 4
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[ray_spec] * 7 + [tbl_spec],
+        out_specs=[ray_spec] * 8,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(table_bytes + 16 * 1024 * 1024,
+                                 127 * 1024 * 1024)),
+        interpret=interpret,
+    )(*chans, accel.words)
+
+    hit, t, vx, vy, vz, ax, sg, steps = [unpack(x) for x in outs]
+    voxel = jnp.stack([vx, vy, vz], axis=-1)
+    normal = -sg[:, None].astype(jnp.float32) * jax.nn.one_hot(
+        ax, 3, dtype=jnp.float32)
+    normal = jnp.where(hit[:, None] > 0, normal, 0.0)
+    return HitRecord(hit=hit > 0, t=t, voxel=voxel, normal=normal,
+                     steps=steps)
+
+
+def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
+                         image_shape=None, window: int = 16,
+                         interpret: bool = False):
+    """Pipeline march-factory (same shape as make_march_xla). ``accel`` must
+    be a PackedMorton (built from the grid if omitted)."""
+    if not isinstance(accel, PackedMorton):
+        occ = occ_flat.reshape(dims)
+        accel = build_packed_morton(occ)
+    max_steps = settings.resolve_max_steps(dims)
+    return functools.partial(march_pallas_v2, accel=accel, dims=dims,
+                             max_steps=max_steps, image_shape=image_shape,
+                             window=window, interpret=interpret)

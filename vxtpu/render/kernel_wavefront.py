@@ -56,18 +56,45 @@ _DIST_SHIFT, _DIST_MASK = 6, 0xFF
 _STEP_SHIFT = 14                      # 17 bits of step count
 
 
-def _default_schedule(n: int, max_steps: int):
+def _round_up(x: int, m: int = 1024) -> int:
+    return -(-x // m) * m
+
+
+def _default_schedule(n: int, max_steps: int, valid_count: int | None = None):
     """(buffer, inner_steps) rounds. Sized for primary-ray distributions
     (many quick deaths, tiny long tail); correctness never depends on the
-    schedule — the trailing while_loop drains whatever is left."""
+    schedule — the trailing while_loop drains whatever is left.
+
+    valid_count (AABB-valid rays, from count_valid_rays) makes the schedule
+    scene-adaptive: round 1 fits EVERY valid ray (a camera inside the grid
+    has 100% valid — the hardcoded 9/16 of r2 would overflow into drain
+    rounds), later rounds are sized from measured survivor ratios of
+    primary-ray distributions (~20% of valid rays alive after 8 steps,
+    ~5% after 24 — flagship step histogram, SURVEY.md §7.1)."""
+    v = n if valid_count is None else max(int(valid_count), 1)
     sched = []
-    b1 = max(1024, -(-n * 9 // 16))        # ~56%: the AABB-valid survivors
+    b1 = max(1024, _round_up(v))
     sched.append((min(b1, n), min(8, max_steps)))
-    if n >= 8192:
-        sched.append((max(1024, n // 8), min(12, max_steps)))
-    if n >= 32768:
-        sched.append((max(1024, n // 32), min(24, max_steps)))
+    if v >= 8192 and max_steps > 8:
+        sched.append((min(max(1024, _round_up(v // 5)), n),
+                      min(16, max_steps)))
+    if v >= 32768 and max_steps > 24:
+        sched.append((min(max(1024, _round_up(v // 20)), n),
+                      min(40, max_steps)))
     return tuple(sched)
+
+
+def count_valid_rays(o: jax.Array, d: jax.Array,
+                     dims: tuple[int, int, int]) -> int:
+    """Host-side AABB-validity count for scene-adaptive scheduling. One tiny
+    jitted reduction; call OUTSIDE the frame jit (the count becomes a static
+    schedule). Cache per (camera, grid) — animation frames drift slowly."""
+    @jax.jit
+    def _count(o, d):
+        t_enter, t_exit, valid = dda.ray_grid_clip(o, d, dims)
+        return jnp.sum(valid.astype(jnp.int32))
+
+    return int(_count(o, d))
 
 
 def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
@@ -77,19 +104,27 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
                     drain_buf: int | None = None,
                     drain_steps: int = 24,
                     inner_chunk: int = 4,
-                    use_jumps: bool = True) -> HitRecord:
+                    use_jumps: bool = True,
+                    valid_count: int | None = None,
+                    stats: bool = False) -> HitRecord:
     """March rays o,d [N,3] against a distance field; HitRecord [N].
 
     Hit-equivalent to kernel_xla.march_xla_df (parity-tested). ``schedule``
     is a static tuple of (buffer_size, steps) compaction rounds; a safety
     while_loop with (drain_buf, drain_steps) rounds finishes any stragglers,
-    so results are schedule-independent.
+    so results are schedule-independent. ``valid_count`` sizes the default
+    schedule adaptively (see count_valid_rays).
+
+    stats=True additionally returns a dict of execution counters for
+    roofline accounting (bench.py): per-round active counts and steps
+    actually executed, drain round/step totals — gathered-lane traffic is
+    exactly sum(B_r * steps_r) since every slot fetches every step.
     """
     n = o.shape[0]
     X, Y, Z = dims
     assert max(dims) <= 1024, "wavefront pack2 carries 10 bits per axis"
     if schedule is None:
-        schedule = _default_schedule(n, max_steps)
+        schedule = _default_schedule(n, max_steps, valid_count)
     if drain_buf is None:
         drain_buf = max(2048, n // 32)
     drain_buf = min(drain_buf, n)
@@ -228,7 +263,7 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
             s = jax.lax.fori_loop(0, chunk, lambda i, s2: one_step(s2), s)
             return s, ci + 1
 
-        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+        st, chunks_exec = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
 
         # ---- scatter state back (dead slots dropped)
         tgt = jnp.where(slot_live, slot_ray, n)
@@ -236,11 +271,14 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
         pack1 = pack1.at[tgt].set(st["p1"], mode="drop")
         pack2 = pack2.at[tgt].set(p2_out, mode="drop")
         t_cur = t_cur.at[tgt].set(st["t"], mode="drop")
-        return pack1, pack2, t_cur
+        return (pack1, pack2, t_cur), count, chunks_exec
 
     state = (pack1, pack2, t_cur)
+    round_counts, round_steps = [], []
     for B, K in schedule:
-        state = run_round(state, int(B), int(K))
+        state, cnt, chx = run_round(state, int(B), int(K))
+        round_counts.append(cnt)
+        round_steps.append(chx * inner_chunk)
 
     # safety drain: schedule-independent correctness for any scene
     max_rounds = jnp.int32(
@@ -248,15 +286,16 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
     )
 
     def drain_cond(c):
-        (p1, _, _), r = c
+        (p1, _, _), r, _ = c
         return (r < max_rounds) & jnp.any((p1 & _DONE) == 0)
 
     def drain_body(c):
-        s, r = c
-        return run_round(s, drain_buf, drain_steps), r + 1
+        s, r, dsteps = c
+        s, _, chx = run_round(s, drain_buf, drain_steps)
+        return s, r + 1, dsteps + chx * inner_chunk
 
-    state, _ = jax.lax.while_loop(drain_cond, drain_body,
-                                  (state, jnp.int32(0)))
+    state, drain_rounds, drain_steps_total = jax.lax.while_loop(
+        drain_cond, drain_body, (state, jnp.int32(0), jnp.int32(0)))
     pack1, pack2, t_cur = state
 
     hit = (pack1 & _HIT) != 0
@@ -264,19 +303,44 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
     sg = jnp.where((pack1 & _SG_BIT) != 0, 1.0, -1.0)
     normal = -sg[:, None] * jax.nn.one_hot(ax, 3, dtype=jnp.float32)
     normal = jnp.where(hit[:, None], normal, 0.0)
-    return HitRecord(
+    rec = HitRecord(
         hit=hit,
         t=jnp.where(hit, t_cur, BIG_T),
         voxel=unpack_v(pack2),
         normal=normal,
         steps=pack1 >> _STEP_SHIFT,
     )
+    if not stats:
+        return rec
+    # exact execution counters: gathered table lanes = sum(B * steps_exec)
+    # (every slot fetches every executed step, dead or not); compaction
+    # overhead = per-round full-width cumsum + ~9 B-wide gathers/scatters.
+    # float32 accumulation: worst-case lane counts (n * max_steps) overflow
+    # int32; f32's 2^24 mantissa is ample for accounting purposes
+    sched_lanes = sum(jnp.float32(B) * s.astype(jnp.float32)
+                      for (B, _), s in zip(schedule, round_steps))
+    st = dict(
+        n_rays=n,
+        valid=jnp.sum(valid.astype(jnp.int32)),
+        schedule=tuple(schedule),
+        round_counts=round_counts,
+        round_steps=round_steps,
+        drain_buf=drain_buf,
+        drain_rounds=drain_rounds,
+        drain_steps_total=drain_steps_total,
+        gathered_lanes=sched_lanes
+        + jnp.float32(drain_buf) * drain_steps_total.astype(jnp.float32),
+        total_rounds=len(schedule) + drain_rounds,
+    )
+    return rec, st
 
 
 def make_march_wavefront(occ_flat, dims, settings, accel=None,
-                         schedule=None):
+                         schedule=None, valid_count=None):
     """Pipeline march-factory (same shape as make_march_xla). ``accel`` must
-    be a DistanceField (built from the grid if omitted)."""
+    be a DistanceField (built from the grid if omitted). ``valid_count``
+    (host int from count_valid_rays) sizes the default schedule to the
+    scene instead of a fixed ratio."""
     if not isinstance(accel, DistanceField):
         from vxtpu.world import distfield
 
@@ -289,4 +353,5 @@ def make_march_wavefront(occ_flat, dims, settings, accel=None,
         dims=dims,
         max_steps=max_steps,
         schedule=schedule,
+        valid_count=valid_count,
     )

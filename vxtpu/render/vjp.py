@@ -42,9 +42,18 @@ import jax.numpy as jnp
 from vxtpu.render import dda
 from vxtpu.render.settings import RenderSettings
 from vxtpu.render.shade import sky_color
-from vxtpu.render.soft import SoftGrid, trilinear
+from vxtpu.render.soft import (SoftGrid, shade_samples, trilinear,
+                               trilinear_grad, warn_soft_scope)
+from vxtpu.world.lights import Lights
 
 _EPS = 1e-10
+
+
+def _is_lit(settings, lights) -> bool:
+    """Static: whether the lit soft mode (density-gradient-normal lambert /
+    Blinn-Phong shading, soft.shade_samples) is active."""
+    return (lights is not None and lights.count > 0
+            and settings.shading != "flat")
 
 
 def _enter_dt(o, d, dims, num_samples):
@@ -54,11 +63,25 @@ def _enter_dt(o, d, dims, num_samples):
     return t_enter, seg / num_samples
 
 
-def _forward_scan(soft: SoftGrid, o, d, settings, num_samples):
+def _sample_color(soft_sigma, soft_rgb, p, d, lights, settings, dims, lit):
+    """(sigma_raw_interp, effective sample color) at points p [N,3] — the
+    per-sample radiance model shared by forward scan and backward re-walk
+    (the backward jax.vjp's through THIS function, so lit-mode gradients to
+    sigma (via normals), rays, and lights all chain automatically)."""
+    sv = trilinear(soft_sigma, p, dims)
+    c = jax.nn.sigmoid(trilinear(soft_rgb, p, dims))
+    if lit:
+        gr = trilinear_grad(soft_sigma, p, dims)
+        c = shade_samples(c, gr, p, d, lights, settings)
+    return sv, c
+
+
+def _forward_scan(soft: SoftGrid, o, d, lights, settings, num_samples):
     """O(N) forward: returns color [N,3] (bit-order-identical to the
     cumprod formulation in render/soft.py — both multiply one_m factors in
     sample order)."""
     dims = soft.dims
+    lit = _is_lit(settings, lights)
     t_enter, dt = _enter_dt(o, d, dims, num_samples)
     _, _, valid = dda.ray_grid_clip(o, d, dims)
     n = o.shape[0]
@@ -67,8 +90,9 @@ def _forward_scan(soft: SoftGrid, o, d, settings, num_samples):
         T, acc = carry
         t_s = t_enter + dt * (s.astype(o.dtype) + 0.5)
         p = o + t_s[:, None] * d
-        sigma = jax.nn.softplus(trilinear(soft.sigma_raw, p, dims))
-        c = jax.nn.sigmoid(trilinear(soft.rgb_raw, p, dims))
+        sv, c = _sample_color(soft.sigma_raw, soft.rgb_raw, p, d, lights,
+                              settings, dims, lit)
+        sigma = jax.nn.softplus(sv)
         alpha = 1.0 - jnp.exp(-sigma * dt)
         alpha = jnp.where(valid, alpha, 0.0)
         w = T * alpha
@@ -86,22 +110,27 @@ def _forward_scan(soft: SoftGrid, o, d, settings, num_samples):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def render_soft_rays_fast(soft: SoftGrid, o: jax.Array, d: jax.Array,
-                          settings: RenderSettings, num_samples: int):
+                          settings: RenderSettings, num_samples: int,
+                          lights: Lights | None = None):
     """Volumetric render rgb [N,3] with an O(N_rays + grid) custom VJP.
 
     Semantics == render/soft.py:render_soft_rays()[0] (parity-tested);
-    grads == autodiff through it (allclose, tests/test_vjp.py)."""
-    return _forward_scan(soft, o, d, settings, num_samples)
+    grads == autodiff through it (allclose, tests/test_vjp.py). ``lights``
+    enables the lit soft mode; gradients then also flow to the light
+    parameters (pos/rgb/intensity), matching autodiff."""
+    warn_soft_scope(settings, lights)
+    return _forward_scan(soft, o, d, lights, settings, num_samples)
 
 
-def _fwd(soft, o, d, settings, num_samples):
-    color = _forward_scan(soft, o, d, settings, num_samples)
-    return color, (soft, o, d, color)
+def _fwd(soft, o, d, settings, num_samples, lights=None):
+    color = _forward_scan(soft, o, d, lights, settings, num_samples)
+    return color, (soft, o, d, lights, color)
 
 
 def _bwd(settings, num_samples, res, g):
-    soft, o, d, color = res
+    soft, o, d, lights, color = res
     dims = soft.dims
+    lit = _is_lit(settings, lights)
     n = o.shape[0]
 
     (t_enter, dt), clip_vjp = jax.vjp(
@@ -109,31 +138,46 @@ def _bwd(settings, num_samples, res, g):
     _, _, valid = dda.ray_grid_clip(o, d, dims)
     sky, sky_vjp = jax.vjp(lambda d_: sky_color(d_, settings), d)
 
-    gsig0 = jnp.zeros_like(soft.sigma_raw)
-    grgb0 = jnp.zeros_like(soft.rgb_raw)
+    glights0 = (jax.tree_util.tree_map(jnp.zeros_like, lights)
+                if lights is not None else Lights.none())
     carry0 = (
         jnp.ones((n,), o.dtype),          # T_s (exclusive transmittance)
         jnp.zeros((n, 3), o.dtype),       # acc = sum_{j<=s} w_j c_j
-        gsig0, grgb0,
+        jnp.zeros_like(soft.sigma_raw),   # gsig
+        jnp.zeros_like(soft.rgb_raw),     # grgb
         jnp.zeros_like(o),                # go
         jnp.zeros_like(d),                # gd
         jnp.zeros((n,), o.dtype),         # g_t_enter
         jnp.zeros((n,), o.dtype),         # g_dt
+        glights0,                         # glights (zeros when unlit)
     )
 
     def step(carry, s):
-        T, acc, gsig, grgb, go, gd, gte, gdt = carry
+        T, acc, gsig, grgb, go, gd, gte, gdt, gl = carry
         sf = s.astype(o.dtype)
         t_s = t_enter + dt * (sf + 0.5)
         p = o + t_s[:, None] * d
 
-        (sv, rv), tri_vjp = jax.vjp(
-            lambda S_, R_, p_: (trilinear(S_, p_, dims),
-                                trilinear(R_, p_, dims)),
-            soft.sigma_raw, soft.rgb_raw, p,
-        )
+        # the sample radiance model is re-walked under jax.vjp so EVERY
+        # dependency — rgb field, sigma field (via alpha AND via lit-mode
+        # normals), sample position, view dir, light params — chains with
+        # one vjp call; the closed forms below only supply the cotangents
+        # of (sigma_raw_interp, c_eff).
+        if lit:
+            def f(S_, R_, p_, d_, lp, lc, li):
+                return _sample_color(
+                    S_, R_, p_, d_, Lights(pos=lp, rgb=lc, intensity=li),
+                    settings, dims, True)
+            (sv, c), f_vjp = jax.vjp(
+                f, soft.sigma_raw, soft.rgb_raw, p, d,
+                lights.pos, lights.rgb, lights.intensity)
+        else:
+            def f(S_, R_, p_):
+                return _sample_color(S_, R_, p_, None, None, settings,
+                                     dims, False)
+            (sv, c), f_vjp = jax.vjp(f, soft.sigma_raw, soft.rgb_raw, p)
+
         sigma = jax.nn.softplus(sv)
-        c = jax.nn.sigmoid(rv)
         e = jnp.exp(-sigma * dt)
         alpha = jnp.where(valid, 1.0 - e, 0.0)
         one_m = 1.0 - alpha + _EPS
@@ -145,11 +189,16 @@ def _bwd(settings, num_samples, res, g):
                          axis=-1)
         galpha = jnp.where(valid, galpha, 0.0)
 
-        gc = g * w[:, None]                            # dL/dc_s
-        grv = gc * c * (1.0 - c)                       # sigmoid'
+        gc = g * w[:, None]                            # dL/dc_eff_s
         gsigma = galpha * dt * e                       # d alpha / d sigma
         gsv = gsigma * jax.nn.sigmoid(sv)              # softplus'
-        gs_grid, gr_grid, gp = tri_vjp((gsv, grv))
+        if lit:
+            gs_grid, gr_grid, gp, gd_shade, glp, glc, gli = f_vjp((gsv, gc))
+            gl = Lights(pos=gl.pos + glp, rgb=gl.rgb + glc,
+                        intensity=gl.intensity + gli)
+        else:
+            gs_grid, gr_grid, gp = f_vjp((gsv, gc))
+            gd_shade = jnp.zeros_like(d)
 
         gts = jnp.sum(gp * d, axis=-1)                 # p = o + t_s d
         return (
@@ -158,12 +207,13 @@ def _bwd(settings, num_samples, res, g):
             gsig + gs_grid,
             grgb + gr_grid,
             go + gp,
-            gd + gp * t_s[:, None],
+            gd + gp * t_s[:, None] + gd_shade,
             gte + gts,
             gdt + gts * (sf + 0.5) + galpha * sigma * e,  # alpha's dt term
+            gl,
         ), None
 
-    (T_end, _, gsig, grgb, go, gd, gte, gdt), _ = jax.lax.scan(
+    (T_end, _, gsig, grgb, go, gd, gte, gdt, gl), _ = jax.lax.scan(
         step, carry0, jnp.arange(num_samples))
 
     # sky: C += T_end * sky(d); T_end's alpha-dependence is already inside
@@ -172,18 +222,21 @@ def _bwd(settings, num_samples, res, g):
     gd = gd + gd_sky
     # chain t_enter / dt back into (o, d) through the AABB clip
     go2, gd2 = clip_vjp((gte, gdt))
-    return SoftGrid(sigma_raw=gsig, rgb_raw=grgb), go + go2, gd + gd2
+    glights = gl if lights is not None else None
+    return (SoftGrid(sigma_raw=gsig, rgb_raw=grgb), go + go2, gd + gd2,
+            glights)
 
 
 render_soft_rays_fast.defvjp(_fwd, _bwd)
 
 
 def render_soft_image_fast(soft: SoftGrid, cam, settings: RenderSettings,
-                           height: int, width: int, num_samples: int):
+                           height: int, width: int, num_samples: int,
+                           lights: Lights | None = None):
     """[H,W,3] differentiable render on the custom-VJP path (grads flow to
     the soft grid AND the camera pose through generate_rays)."""
     from vxtpu.camera.rays import generate_rays
 
     o, d = generate_rays(cam, height, width)
-    rgb = render_soft_rays_fast(soft, o, d, settings, num_samples)
+    rgb = render_soft_rays_fast(soft, o, d, settings, num_samples, lights)
     return rgb.reshape(height, width, 3)

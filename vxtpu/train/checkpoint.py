@@ -24,9 +24,13 @@ from vxtpu.render.soft import SoftGrid
 
 
 def save_checkpoint(path: str, soft: SoftGrid, cam: Camera, step: int,
-                    extra: dict | None = None) -> None:
+                    extra: dict | None = None, opt_state=None) -> None:
     """Host-0-only atomic save. Arrays are gathered to host (the grid is
-    replicated across the mesh, so host 0's copy is the full state)."""
+    replicated across the mesh, so host 0's copy is the full state).
+
+    ``opt_state`` (any optax-state pytree) is flattened and saved leaf by
+    leaf so resume continues the optimizer trajectory (adam moments) instead
+    of re-warming from zero — restore with load_opt_state()."""
     try:
         if jax.process_index() != 0:
             return
@@ -45,6 +49,9 @@ def save_checkpoint(path: str, soft: SoftGrid, cam: Camera, step: int,
     )
     for k, v in (extra or {}).items():
         payload["x_" + k] = np.asarray(v)
+    if opt_state is not None:
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            payload[f"o_{i:04d}"] = np.asarray(leaf)
     with open(tmp, "wb") as f:
         np.savez_compressed(f, **payload)
     os.replace(tmp, path)
@@ -66,3 +73,34 @@ def load_checkpoint(path: str):
         step = int(z["step"])
         extra = {k[2:]: jnp.asarray(z[k]) for k in z.files if k.startswith("x_")}
     return soft, cam, step, extra
+
+
+def load_opt_state(path: str, template):
+    """Restore an optimizer state saved by save_checkpoint(opt_state=...).
+
+    ``template``: a freshly-initialized opt_state with the target structure
+    (e.g. ``opt.init(params)``) — npz stores leaves, not pytree structure.
+    Returns the restored pytree, or None if the checkpoint predates
+    opt-state saving (caller keeps the fresh template and the run re-warms,
+    the documented legacy behavior)."""
+    with np.load(path) as z:
+        keys = sorted(k for k in z.files if k.startswith("o_"))
+        if not keys:
+            return None
+        leaves = [z[k] for k in keys]
+    tmpl_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(leaves) != len(tmpl_leaves):
+        raise ValueError(
+            f"checkpoint {path} has {len(leaves)} optimizer leaves but the "
+            f"current optimizer expects {len(tmpl_leaves)} — config changed "
+            "between save and resume")
+    out = []
+    for i, (l, t) in enumerate(zip(leaves, tmpl_leaves)):
+        tshape = tuple(getattr(t, "shape", ()) or ())
+        if tuple(l.shape) != tshape:
+            raise ValueError(
+                f"checkpoint {path} optimizer leaf {i} has shape "
+                f"{tuple(l.shape)} but the current optimizer expects "
+                f"{tshape} — model/config changed between save and resume")
+        out.append(jnp.asarray(l, dtype=getattr(t, "dtype", None)))
+    return jax.tree_util.tree_unflatten(treedef, out)

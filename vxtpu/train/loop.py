@@ -71,7 +71,8 @@ def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
 def fit_soft_views(soft: SoftGrid, cams: list[Camera],
                    target_imgs: jax.Array, settings: RenderSettings,
                    cfg: TrainConfig,
-                   log_fn: Callable[[int, float], None] | None = None):
+                   log_fn: Callable[[int, float], None] | None = None,
+                   opt_state=None):
     """Optimize a soft grid against N posed views (BASELINE config 4:
     "optimize voxel colors/densities from target images").
 
@@ -79,7 +80,9 @@ def fit_soft_views(soft: SoftGrid, cams: list[Camera],
     minibatch uniformly over the union of all views' rays (cfg.ray_batch;
     0 = all rays of all views every step). Poses are fixed (known); use
     fit_soft(optimize_camera=True) for single-view pose refinement.
-    Returns (soft', losses [steps]).
+    ``opt_state`` resumes the optimizer (adam moments) from a checkpoint so
+    a resumed run continues the uninterrupted trajectory.
+    Returns (soft', losses [steps], opt_state').
     """
     assert target_imgs.ndim == 4 and target_imgs.shape[0] == len(cams)
     V, H, W = target_imgs.shape[:3]
@@ -92,40 +95,50 @@ def fit_soft_views(soft: SoftGrid, cams: list[Camera],
     d = jnp.concatenate(ds_, axis=0)
     target = target_imgs.reshape(-1, 3)
     cfg = dataclasses.replace(cfg, optimize_camera=False)
-    soft, _, losses = _fit_rays(soft, cams[0], o, d, target, (H, W),
-                                settings, cfg, log_fn)
-    return soft, losses
+    soft, _, losses, opt_state = _fit_rays(soft, cams[0], o, d, target,
+                                           (H, W), settings, cfg, log_fn,
+                                           opt_state)
+    return soft, losses, opt_state
 
 
 def fit_soft(soft: SoftGrid, cam: Camera, target_img: jax.Array,
              settings: RenderSettings, cfg: TrainConfig,
-             log_fn: Callable[[int, float], None] | None = None):
+             log_fn: Callable[[int, float], None] | None = None,
+             opt_state=None):
     """Optimize soft-grid (and optionally camera pose) to match target_img
-    [H,W,3] seen from cam. Returns (soft', cam', losses [steps])."""
+    [H,W,3] seen from cam. ``opt_state`` resumes the optimizer from a
+    checkpoint. Returns (soft', cam', losses [steps], opt_state')."""
     H, W = target_img.shape[:2]
     o, d = generate_rays(cam, H, W)
     target = target_img.reshape(-1, 3)
-    return _fit_rays(soft, cam, o, d, target, (H, W), settings, cfg, log_fn)
+    return _fit_rays(soft, cam, o, d, target, (H, W), settings, cfg, log_fn,
+                     opt_state)
+
+
+def make_optimizer(cfg: TrainConfig):
+    """The optimizer fit_soft uses — exposed so resume paths can rebuild an
+    opt_state template (train/checkpoint.py:load_opt_state)."""
+    if cfg.optimize_camera:
+        return optax.multi_transform(
+            {"soft": optax.adam(cfg.lr), "cam": optax.adam(cfg.cam_lr)},
+            ("soft", "cam"),
+        )
+    return optax.adam(cfg.lr)
 
 
 def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
               settings: RenderSettings, cfg: TrainConfig,
-              log_fn: Callable[[int, float], None] | None = None):
+              log_fn: Callable[[int, float], None] | None = None,
+              opt_state=None):
     H, W = hw
     minibatched = bool(cfg.ray_batch) and cfg.ray_batch < o.shape[0]
     if cfg.optimize_camera and minibatched:
         raise ValueError("optimize_camera requires full-image steps (ray_batch=0)")
 
-    if cfg.optimize_camera:
-        params = (soft, cam)
-        opt = optax.multi_transform(
-            {"soft": optax.adam(cfg.lr), "cam": optax.adam(cfg.cam_lr)},
-            ("soft", "cam"),
-        )
-    else:
-        params = soft
-        opt = optax.adam(cfg.lr)
-    opt_state = opt.init(params)
+    params = (soft, cam) if cfg.optimize_camera else soft
+    opt = make_optimizer(cfg)
+    if opt_state is None:
+        opt_state = opt.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, o_b, d_b, tgt_b):
@@ -165,4 +178,4 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
         soft_out, cam_out = params
     else:
         soft_out, cam_out = params, cam
-    return soft_out, cam_out, losses
+    return soft_out, cam_out, losses, opt_state

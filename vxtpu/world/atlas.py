@@ -47,6 +47,11 @@ def build_procedural_atlas(num_materials: int | None = None,
     value-noise brightness + a subtle checker, different per material."""
     palette = MATERIAL_RGB if palette is None else palette
     M = palette.shape[0] if num_materials is None else num_materials
+    if M > palette.shape[0]:
+        raise ValueError(
+            f"build_procedural_atlas: num_materials={M} exceeds the "
+            f"palette's {palette.shape[0]} rows; pass a larger palette= "
+            "or fewer materials")
     T = tex_size
     key = jax.random.PRNGKey(seed)
     noise = jax.random.uniform(key, (M, T, T), minval=0.75, maxval=1.25)
@@ -72,8 +77,10 @@ def sample_atlas(atlas: TextureAtlas, material_id: jax.Array, p: jax.Array,
     # world-anchored UV: fractional position inside the voxel face
     tu = jnp.clip((pu - jnp.floor(pu)) * T, 0.0, T - 1.0).astype(jnp.int32)
     tv = jnp.clip((pv - jnp.floor(pv)) * T, 0.0, T - 1.0).astype(jnp.int32)
-    m = jnp.minimum(material_id.astype(jnp.int32),
-                    atlas.num_materials - 1)
+    # out-of-range ids map to row 0 (the "empty" material) rather than
+    # silently aliasing the last real material
+    m = material_id.astype(jnp.int32)
+    m = jnp.where((m < 0) | (m >= atlas.num_materials), 0, m)
     idx = (m * T + tu) * T + tv
     return jnp.stack([jnp.take(c, idx, axis=0) for c in atlas.channels],
                      axis=-1)

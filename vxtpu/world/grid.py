@@ -42,13 +42,13 @@ class VoxelGrid:
     occupancy: uint8 [X, Y, Z], 0 = empty, >0 = material id.
     rgb:       float32 [X, Y, Z, 3] or None — per-voxel albedo. When None,
                albedo comes from MATERIAL_RGB[occupancy].
-    density:   float32 [X, Y, Z] or None — only for the soft (differentiable)
-               render mode; sigma >= 0, 0 = transparent.
+
+    (Soft/differentiable densities live in render.soft.SoftGrid — the hard
+    grid carries no density field.)
     """
 
     occupancy: jax.Array
     rgb: jax.Array | None = None
-    density: jax.Array | None = None
 
     @property
     def dims(self) -> tuple[int, int, int]:

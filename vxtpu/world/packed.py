@@ -24,6 +24,17 @@ Words are stored as float32 (values < 2^16, exactly representable) in a
 [rows, 128] layout because the Pallas kernel's table lookup is a
 row-one-hot MXU matmul + lane-one-hot reduce (render/kernel_pallas.py) —
 f32 0/1-matmuls reproduce the integer word exactly.
+
+Two linearizations:
+  * build_packed        — row-major (v1 kernel: one-hot over ALL rows,
+                          O(rows)/step — small grids only).
+  * build_packed_morton — Morton (z-order) cell index (v2 kernel): a
+                          spatially-local cluster of ray positions maps to
+                          a compact row RANGE, so the per-step one-hot can
+                          restrict itself to a dynamic W-row window
+                          (pl.ds) around the tile's cluster — O(W)/step,
+                          unlocking the 512³ flagship table (131072 rows,
+                          64 MB, VMEM-resident on v5e).
 """
 
 from __future__ import annotations
@@ -35,6 +46,23 @@ from vxtpu.utils import pytree_dataclass
 from vxtpu.world.distfield import build_distance_field
 
 LANES = 128
+
+
+def part1by2(v: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of v so they occupy every 3rd bit (the
+    classic Morton magic-number sequence); int32 in, int32 out."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton3(x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
+    """Interleaved 3D Morton code (x gets bit 0). For a 2^k-sided cube this
+    is a bijection onto [0, 2^(3k)) — the v2 table layout."""
+    return part1by2(x) | (part1by2(y) << 1) | (part1by2(z) << 2)
 
 
 @pytree_dataclass
@@ -53,8 +81,8 @@ def coarse_dims(dims: tuple[int, int, int]) -> tuple[int, int, int]:
     return (dims[0] // 2, dims[1] // 2, dims[2] // 2)
 
 
-def build_packed(occupancy: jax.Array, cap: int = 64) -> PackedAccel:
-    """Build the packed word table from a uint8 occupancy grid [X,Y,Z]."""
+def _packed_words(occupancy: jax.Array, cap: int) -> jax.Array:
+    """float32 [cx,cy,cz] word grid: child_bits | (coarse chessboard D << 8)."""
     X, Y, Z = occupancy.shape
     cx, cy, cz = coarse_dims((X, Y, Z))
     solid = (occupancy > 0).reshape(cx, 2, cy, 2, cz, 2)
@@ -68,8 +96,10 @@ def build_packed(occupancy: jax.Array, cap: int = 64) -> PackedAccel:
                 )
     coarse_occ = (child_bits > 0).astype(jnp.uint8)
     d = build_distance_field(coarse_occ, cap=min(cap, 255)).astype(jnp.int32)
-    word = (child_bits | (d << 8)).astype(jnp.float32)
-    flat = word.reshape(-1)
+    return (child_bits | (d << 8)).astype(jnp.float32)
+
+
+def _pad_rows(flat: jax.Array) -> jax.Array:
     n = flat.shape[0]
     rows = -(-n // LANES)
     pad = rows * LANES - n
@@ -77,4 +107,38 @@ def build_packed(occupancy: jax.Array, cap: int = 64) -> PackedAccel:
         # padding cells read as "solid children, D=0" so an (impossible)
         # out-of-range fetch can never certify a skip
         flat = jnp.concatenate([flat, jnp.full((pad,), 255.0, jnp.float32)])
-    return PackedAccel(words=flat.reshape(rows, LANES))
+    return flat.reshape(rows, LANES)
+
+
+def build_packed(occupancy: jax.Array, cap: int = 64) -> PackedAccel:
+    """Build the packed word table from a uint8 occupancy grid [X,Y,Z]."""
+    word = _packed_words(occupancy, cap)
+    return PackedAccel(words=_pad_rows(word.reshape(-1)))
+
+
+@pytree_dataclass
+class PackedMorton:
+    """Morton-linearized packed table (v2 kernel): words float32 [rows,128]
+    where linear cell index = morton3(cx, cy, cz). Requires a cubic
+    power-of-two coarse grid (bijection onto [0, S³))."""
+
+    words: jax.Array
+
+    @property
+    def rows(self) -> int:
+        return self.words.shape[0]
+
+
+def build_packed_morton(occupancy: jax.Array, cap: int = 64) -> PackedMorton:
+    """Morton-order packed table from a uint8 occupancy grid [X,Y,Z]
+    (X == Y == Z, power of two)."""
+    X, Y, Z = occupancy.shape
+    assert X == Y == Z and (X & (X - 1)) == 0, (
+        "morton packed table needs a cubic power-of-two grid")
+    word = _packed_words(occupancy, cap)
+    S = X // 2
+    ii, jj, kk = jnp.meshgrid(jnp.arange(S), jnp.arange(S), jnp.arange(S),
+                              indexing="ij")
+    mi = morton3(ii, jj, kk).reshape(-1)
+    flat = jnp.zeros((S * S * S,), jnp.float32).at[mi].set(word.reshape(-1))
+    return PackedMorton(words=_pad_rows(flat))
