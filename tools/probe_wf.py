@@ -80,6 +80,13 @@ def main():
         out[f"{name}_march_auto_ms"] = round(t_auto * 1e3, 1)
         print(json.dumps({f"{name}_march_auto_ms": out[f"{name}_march_auto_ms"]}),
               flush=True)
+        n = o.shape[0]
+        id4 = ((n, 4), (max(1024, -(-vc // 3 // 1024) * 1024), 12),
+               (max(1024, -(-vc // 40 // 1024) * 1024), 40))
+        t_id4 = chain_time(march_dep(id4), (o, d, df_flat_host))
+        out[f"{name}_march_id4_ms"] = round(t_id4 * 1e3, 1)
+        print(json.dumps({f"{name}_march_id4_ms": out[f"{name}_march_id4_ms"]}),
+              flush=True)
 
         # execution counters (drives the roofline gathered-lane model)
         @jax.jit

@@ -157,18 +157,37 @@ def cmd_animate(args) -> int:
         )
 
     os.makedirs(args.out, exist_ok=True)
+    # frame encode+IO runs on the native C++ worker pool so disk latency
+    # never serializes into the render loop (native/framesink.cpp — the
+    # runtime analog of the reference's draw/present tail); PIL fallback
+    # if no toolchain.
+    from vxtpu.native.framesink import FrameSink, framesink_available
+
+    sink = FrameSink(workers=2) if framesink_available() else None
     t_render = 0.0
-    for i in range(args.frames):
-        t0 = time.perf_counter()
-        img = jax.block_until_ready(frame(grid, accel, i / 24.0))
-        if i > 0:  # skip compile frame
-            t_render += time.perf_counter() - t0
-        _save_png(os.path.join(args.out, f"frame_{i:04d}.png"), img)
+    try:
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            img = jax.block_until_ready(frame(grid, accel, i / 24.0))
+            if i > 0:  # skip compile frame
+                t_render += time.perf_counter() - t0
+            path = os.path.join(args.out, f"frame_{i:04d}.png")
+            if sink is not None:
+                sink.submit(path, np.asarray(img))
+            else:
+                _save_png(path, img)
+    finally:
+        if sink is not None:
+            failed = sink.flush()
+            sink.close()
+            if failed:
+                raise IOError(f"{failed} frames failed to write")
     steady = args.frames - 1
     if steady > 0 and t_render > 0:
         fps = steady / t_render
         print(json.dumps({"metric": "fps", "value": round(fps, 2),
-                          "frames": args.frames, "res": [h, w]}))
+                          "frames": args.frames, "res": [h, w],
+                          "sink": "native" if sink is not None else "pil"}))
     print(f"wrote {args.frames} frames to {args.out}/")
     return 0
 

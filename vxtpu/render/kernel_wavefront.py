@@ -65,21 +65,22 @@ def _default_schedule(n: int, max_steps: int, valid_count: int | None = None):
     (many quick deaths, tiny long tail); correctness never depends on the
     schedule — the trailing while_loop drains whatever is left.
 
-    valid_count (AABB-valid rays, from count_valid_rays) makes the schedule
-    scene-adaptive: round 1 fits EVERY valid ray (a camera inside the grid
-    has 100% valid — the hardcoded 9/16 of r2 would overflow into drain
-    rounds), later rounds are sized from measured survivor ratios of
-    primary-ray distributions (~20% of valid rays alive after 8 steps,
-    ~5% after 24 — flagship step histogram, SURVEY.md §7.1)."""
+    Round 1 is always the FULL-WIDTH IDENTITY round (B = n): marching every
+    ray in place for the first 8 steps is cheaper than compacting at full
+    width, because the compaction io (~10 gathers + 3 scatters + cumsum,
+    measured ~116 ms at 2M rays — tools/probe_wf2_out.json) exceeds the
+    table-gather cost of the dead lanes it would remove. Later rounds
+    compact to buffers sized from the measured survivor curve of the
+    flagship primary-ray distribution (v/5.6 alive after 8 steps, v/56
+    after 24 — tools/probe_wf_out.json round_counts), scaled by
+    valid_count when the caller provides it (count_valid_rays)."""
     v = n if valid_count is None else max(int(valid_count), 1)
-    sched = []
-    b1 = max(1024, _round_up(v))
-    sched.append((min(b1, n), min(8, max_steps)))
+    sched = [(n, min(8, max_steps))]
     if v >= 8192 and max_steps > 8:
         sched.append((min(max(1024, _round_up(v // 5)), n),
                       min(16, max_steps)))
     if v >= 32768 and max_steps > 24:
-        sched.append((min(max(1024, _round_up(v // 20)), n),
+        sched.append((min(max(1024, _round_up(v // 40)), n),
                       min(40, max_steps)))
     return tuple(sched)
 
@@ -147,26 +148,38 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
 
     def run_round(state, B, K):
         pack1, pack2, t_cur = state
-        active = (pack1 & _DONE) == 0
-        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
-        sel = active & (pos < B)
-        count = jnp.minimum(jnp.sum(active.astype(jnp.int32)), B)
+        identity = B >= n
+        if identity:
+            # ---- identity round: the buffer covers EVERY ray, so the
+            # compaction machinery (full-width cumsum, ~10 B-wide state
+            # gathers, 3 scatters — measured ~116 ms/round at flagship
+            # width, tools/probe_wf2_out.json) degenerates to marching the
+            # packed state IN PLACE. This is the default round 0: dead/
+            # invalid lanes cost only their table-gather lane, which is
+            # cheaper than compacting them out at full width.
+            count = jnp.sum(((pack1 & _DONE) == 0).astype(jnp.int32))
+            p1, p2, tc, ob, db, teb = pack1, pack2, t_cur, o, d, t_end
+        else:
+            active = (pack1 & _DONE) == 0
+            pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+            sel = active & (pos < B)
+            count = jnp.minimum(jnp.sum(active.astype(jnp.int32)), B)
 
-        ids = jnp.arange(n, dtype=jnp.int32)
-        slot_ray = jnp.zeros((B,), jnp.int32).at[
-            jnp.where(sel, pos, B)].set(ids, mode="drop")
-        slot_live = jnp.arange(B, dtype=jnp.int32) < count
+            ids = jnp.arange(n, dtype=jnp.int32)
+            slot_ray = jnp.zeros((B,), jnp.int32).at[
+                jnp.where(sel, pos, B)].set(ids, mode="drop")
+            slot_live = jnp.arange(B, dtype=jnp.int32) < count
 
-        # ---- gather per-slot state (the only full-table reads per round)
-        p1 = jnp.take(pack1, slot_ray, axis=0)
-        p2 = jnp.take(pack2, slot_ray, axis=0)
-        tc = jnp.take(t_cur, slot_ray, axis=0)
-        ob = jnp.take(o, slot_ray, axis=0)
-        db = jnp.take(d, slot_ray, axis=0)
-        teb = jnp.take(t_end, slot_ray, axis=0)
+            # ---- gather per-slot state (the only full-table reads/round)
+            p1 = jnp.take(pack1, slot_ray, axis=0)
+            p2 = jnp.take(pack2, slot_ray, axis=0)
+            tc = jnp.take(t_cur, slot_ray, axis=0)
+            ob = jnp.take(o, slot_ray, axis=0)
+            db = jnp.take(d, slot_ray, axis=0)
+            teb = jnp.take(t_end, slot_ray, axis=0)
 
-        # dead slots: mark done so they never fetch or write
-        p1 = jnp.where(slot_live, p1, _DONE)
+            # dead slots: mark done so they never fetch or write
+            p1 = jnp.where(slot_live, p1, _DONE)
 
         # ---- per-slot derived constants (elementwise)
         inv_d = safe_inverse(db)
@@ -265,12 +278,16 @@ def march_wavefront(o: jax.Array, d: jax.Array, df_flat: jax.Array,
 
         st, chunks_exec = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
 
-        # ---- scatter state back (dead slots dropped)
-        tgt = jnp.where(slot_live, slot_ray, n)
         p2_out = (st["v"][:, 0] << 20) | (st["v"][:, 1] << 10) | st["v"][:, 2]
-        pack1 = pack1.at[tgt].set(st["p1"], mode="drop")
-        pack2 = pack2.at[tgt].set(p2_out, mode="drop")
-        t_cur = t_cur.at[tgt].set(st["t"], mode="drop")
+        if identity:
+            # in-place round: the buffer IS the full state
+            pack1, pack2, t_cur = st["p1"], p2_out, st["t"]
+        else:
+            # ---- scatter state back (dead slots dropped)
+            tgt = jnp.where(slot_live, slot_ray, n)
+            pack1 = pack1.at[tgt].set(st["p1"], mode="drop")
+            pack2 = pack2.at[tgt].set(p2_out, mode="drop")
+            t_cur = t_cur.at[tgt].set(st["t"], mode="drop")
         return (pack1, pack2, t_cur), count, chunks_exec
 
     state = (pack1, pack2, t_cur)
