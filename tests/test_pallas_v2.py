@@ -132,3 +132,24 @@ def test_pallas_v2_flat_fallback_and_padding():
     rec2 = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(9, 13),
                            interpret=True)
     assert (np.array(rec.hit) == np.array(rec2.hit)).all()
+
+
+def test_pallas_v2_block_permutation_invariance():
+    """block_shape is a layout knob, never a semantics knob: 32x32 image
+    blocks must produce bitwise-identical hits to the 8x128 strip tiling
+    (the permutation + inverse round-trips every ray)."""
+    grid = scenes()["terrain"]
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["outside"]
+    H, W = 40, 40  # non-multiple of 32: exercises block padding
+    o, d = generate_rays(cam, H, W)
+    ms = 128
+    a = march_pallas_v2(o, d, accel, DIMS, ms, image_shape=(H, W),
+                        window=16, interpret=True)
+    b = march_pallas_v2(o, d, accel, DIMS, ms, image_shape=(H, W),
+                        window=16, block_shape=(32, 32), interpret=True)
+    assert (np.array(a.hit) == np.array(b.hit)).all()
+    h = np.array(a.hit)
+    np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)
+    assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()
+    assert (np.array(a.normal)[h] == np.array(b.normal)[h]).all()

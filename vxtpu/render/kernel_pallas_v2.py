@@ -290,12 +290,18 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     t_max: jax.Array | None = None,
                     image_shape: tuple[int, int] | None = None,
                     window: int = 16,
+                    block_shape: tuple[int, int] | None = None,
                     interpret: bool = False) -> HitRecord:
     """March rays o,d [N,3] through the Morton packed-accel world.
 
     image_shape=(H, W) with N == H*W tiles rays as [8,128] image PATCHES
     (spatially-coherent clusters -> narrow Morton windows); None falls back
-    to scanline-order tiles (correct, more stalls). Hit-equivalent to
+    to scanline-order tiles (correct, more stalls). block_shape=(bh,bw)
+    with bh*bw == 1024 (e.g. (32,32)) additionally PERMUTES pixels so each
+    kernel tile is a square-ish image block instead of an 8x128 strip — a
+    32x32 block's 3D ray cluster spans ~4x less Morton range than a 128-px
+    strip, cutting window stalls; the permutation is pure host-side XLA
+    (reshape/transpose), the kernel body is identical. Hit-equivalent to
     kernel_pallas / kernel_xla.march_xla_df / kernel_ref (parity-tested).
     """
     n = o.shape[0]
@@ -304,7 +310,38 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     if t_max is None:
         t_max = jnp.full((n,), BIG_T, dtype=jnp.float32)
 
-    if image_shape is not None and image_shape[0] * image_shape[1] == n:
+    if (block_shape is not None and image_shape is not None
+            and image_shape[0] * image_shape[1] == n):
+        bh, bw = block_shape
+        assert bh * bw == TILE_RAYS, (bh, bw)
+        H, W_img = image_shape
+        pad_h = (-H) % bh
+        pad_w = (-W_img) % bw
+        Hp, Wp = H + pad_h, W_img + pad_w
+        gh, gw = Hp // bh, Wp // bw
+        nt = gh * gw
+
+        def to_tiles(x, fill):
+            img = jnp.pad(x.reshape(H, W_img), ((0, pad_h), (0, pad_w)),
+                          constant_values=fill)
+            blk = img.reshape(gh, bh, gw, bw).transpose(0, 2, 1, 3)
+            return blk.reshape(nt * TILE[0], TILE[1])
+
+        chans = [to_tiles(o[:, 0], -10.0), to_tiles(o[:, 1], -10.0),
+                 to_tiles(o[:, 2], -10.0),
+                 to_tiles(d[:, 0], 0.0), to_tiles(d[:, 1], 0.0),
+                 to_tiles(d[:, 2], -1.0), to_tiles(t_max, 0.0)]
+        grid = (nt, 1)
+        ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), t)
+                     for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
+                               jnp.int32, jnp.int32, jnp.int32, jnp.int32)]
+
+        def unpack(x):
+            img = x.reshape(gh, gw, bh, bw).transpose(0, 2, 1, 3)
+            return img.reshape(Hp, Wp)[:H, :W_img].reshape(-1)
+    elif image_shape is not None and image_shape[0] * image_shape[1] == n:
         H, W_img = image_shape
         pad_h = (-H) % TILE[0]
         pad_w = (-W_img) % TILE[1]
@@ -376,7 +413,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
 
 def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
                          image_shape=None, window: int = 16,
-                         interpret: bool = False):
+                         block_shape=None, interpret: bool = False):
     """Pipeline march-factory (same shape as make_march_xla). ``accel`` must
     be a PackedMorton (built from the grid if omitted)."""
     if not isinstance(accel, PackedMorton):
@@ -385,4 +422,5 @@ def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
     max_steps = settings.resolve_max_steps(dims)
     return functools.partial(march_pallas_v2, accel=accel, dims=dims,
                              max_steps=max_steps, image_shape=image_shape,
-                             window=window, interpret=interpret)
+                             window=window, block_shape=block_shape,
+                             interpret=interpret)
