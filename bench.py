@@ -185,52 +185,115 @@ def bench_forward(details):
 
 
 def bench_pallas2(details):
-    """v2 Pallas kernel at the flagship 512³ — quarter-res first to bound
-    cost, full 1080p only if the estimate stays sane."""
+    """v2 Pallas kernel (Morton windowed bf16 fetch, 32x32 block tiles) at
+    the flagship 512³/1080p: march-only AND full shaded frame (lambert —
+    the same shading the wavefront headline uses), plus its own roofline:
+    per-tile loop-iteration counters from the kernel x a self-calibrated
+    bf16 one-hot-matmul cost give the MXU floor; iters vs ideal (per-tile
+    max march steps) gives the window-stall overhead."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from vxtpu.camera.camera import Camera
     from vxtpu.camera.rays import generate_rays
-    from vxtpu.render.kernel_pallas_v2 import march_pallas_v2
+    from vxtpu.render.kernel_pallas_v2 import (make_march_pallas_v2,
+                                               march_pallas_v2)
+    from vxtpu.render.pipeline import render_image
+    from vxtpu.render.settings import RenderSettings
     from vxtpu.world import procgen
+    from vxtpu.world.lights import Lights
     from vxtpu.world.packed import build_packed_morton
 
     dims = (512, 512, 512)
+    H, W = 1080, 1920
     grid = procgen.terrain(dims, seed=7)
     accel = build_packed_morton(grid.occupancy, cap=64)
     cam = Camera.make(pos=(-360.0, 256.0, 560.0),
                       fov_y_deg=55.0).look_at((256.0, 256.0, 140.0))
     max_steps = sum(dims) + 2
-    window = int(os.environ.get("VXTPU_PALLAS2_WINDOW", "16"))
+    window = int(os.environ.get("VXTPU_PALLAS2_WINDOW", "1024"))
+    block = (32, 32)
+    settings = RenderSettings(shading="lambert", step_chunk=8)
+    lights = Lights.single((100.0, -150.0, 700.0), intensity=2.0)
+    o, d = generate_rays(cam, H, W)
 
-    def timed(h, w):
-        o, d = generate_rays(cam, h, w)
-
+    try:
+        # ---- march only
         @jax.jit
         def f(o, d, words, dep):
             o = o.at[0, 0].add(dep * 1e-12)
             rec = march_pallas_v2(o, d, type(accel)(words=words), dims,
-                                  max_steps, image_shape=(h, w),
-                                  window=window)
+                                  max_steps, image_shape=(H, W),
+                                  window=window, block_shape=block)
             return jnp.sum(jnp.where(rec.hit, rec.t, 0.0)) * 1e-6
 
-        return _chain_time(f, (o, d, accel.words), iters=2)
+        dt_m = _chain_time(f, (o, d, accel.words), iters=3)
+        details["pallas2_march"] = dict(
+            ms=round(dt_m * 1e3, 1), mrays=round(H * W / dt_m / 1e6, 3),
+            window=window, block="32x32", table="bf16-signed")
 
-    try:
-        dt_q = timed(272, 480)
-        details["pallas2_quarter"] = dict(ms=round(dt_q * 1e3, 1),
-                                          mrays=round(272 * 480 / dt_q / 1e6, 3),
-                                          window=window)
-        if dt_q * 16 < 240.0:
-            dt = timed(1080, 1920)
-            mrays = 1080 * 1920 / dt / 1e6
-            details["pallas2_512_1080p"] = dict(ms=round(dt * 1e3, 1),
-                                                mrays=round(mrays, 3),
-                                                window=window)
-            return mrays
+        # ---- full shaded frame (headline-comparable with the wavefront)
+        factory = functools.partial(make_march_pallas_v2, accel=accel,
+                                    image_shape=(H, W), window=window,
+                                    block_shape=block)
+
+        @jax.jit
+        def frame(g, words, eps):
+            cam2 = cam.replace(yaw=cam.yaw + eps * 1e-6)
+            acc = type(accel)(words=words)
+            fac = functools.partial(factory, accel=acc)
+            img = render_image(fac, g, cam2, lights, settings, H, W, acc)
+            return jnp.mean(img)
+
+        dt = _chain_time(lambda g, w, dep: frame(g, w, dep),
+                         (grid, accel.words), iters=3)
+        mrays = H * W / dt / 1e6
         details["pallas2_512_1080p"] = dict(
-            skipped=f"quarter-res extrapolates to {dt_q*16:.0f}s/frame")
+            ms=round(dt * 1e3, 1), mrays=round(mrays, 3), window=window,
+            block="32x32", shading="lambert", frame="march+shade+sky")
+
+        # ---- roofline: exact per-tile loop iterations vs the bf16 matmul
+        @jax.jit
+        def stats_fn(o, d, words):
+            rec, st = march_pallas_v2(o, d, type(accel)(words=words), dims,
+                                      max_steps, image_shape=(H, W),
+                                      window=window, block_shape=block,
+                                      stats=True)
+            return (jnp.sum(st["iters_tile"]),
+                    jnp.sum(st["steps_tile_max"] + 1),
+                    jnp.sum(rec.steps))
+
+        iters_total, ideal_total, ray_steps = [
+            int(x) for x in jax.block_until_ready(
+                stats_fn(o, d, accel.words))]
+
+        # self-calibrated bf16 one-hot matmul cost at the kernel's shape
+        key = jax.random.PRNGKey(0)
+        A = (jax.random.uniform(key, (1024, window)) < 0.01).astype(
+            jnp.bfloat16)
+        Tb = jax.random.normal(key, (window, 128)).astype(jnp.bfloat16)
+
+        def mm_body(A, Tb, dep):
+            g = jnp.dot(A, Tb, preferred_element_type=jnp.float32)
+            return jnp.sum(g) * 1e-9 + dep
+
+        mm_ms = _per_op_ms(mm_body, (A, Tb), k=32)
+        floor_ms = iters_total * mm_ms
+        details["pallas2_roofline"] = dict(
+            iters_total=iters_total,
+            ideal_iters_total=ideal_total,
+            stall_overhead=round(iters_total / max(ideal_total, 1), 2),
+            useful_ray_steps=ray_steps,
+            matmul_ms_per_iter=round(mm_ms, 4),
+            mxu_floor_ms=round(floor_ms, 1),
+            march_ms=round(dt_m * 1e3, 1),
+            pct_of_mxu_floor=round(100.0 * floor_ms / (dt_m * 1e3), 1),
+            note=("floor = measured bf16 [1024,W]@[W,128] one-hot fetch "
+                  "cost x exact kernel loop iterations; stall_overhead = "
+                  "iters vs per-tile max-march-steps ideal"))
+        return mrays
     except Exception as e:
         details["pallas2_512_1080p"] = dict(error=str(e)[:400])
     return None
@@ -314,17 +377,28 @@ def main():
     with open("tools/bench_details.json", "w") as f:
         json.dump(details, f, indent=1)
 
+    # headline = fastest full shaded frame (both kernels render the same
+    # lambert-lit 512^3/1080p scene; per-kernel detail in bench_details)
+    best, kern, best_dt = mrays, "wavefront", dt
+    if p2 is not None and p2 > best:
+        best, kern = p2, "pallas2(morton-window bf16)"
+        best_dt = details["pallas2_512_1080p"]["ms"] / 1e3
     line = {
         "metric": "Mrays/s/chip @ 512^3 grid, 1080p forward",
-        "value": round(mrays, 3),
+        "value": round(best, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
-        "kernel": "wavefront",
-        "fps": round(1.0 / dt, 2),
-        "pct_of_endpoint_floor": details["roofline"]["pct_of_endpoint_floor"],
+        "vs_baseline": round(best / TARGET_MRAYS, 4),
+        "kernel": kern,
+        "fps": round(1.0 / best_dt, 2),
+        "wavefront_mrays": round(mrays, 3),
+        "wavefront_pct_of_endpoint_floor":
+            details["roofline"]["pct_of_endpoint_floor"],
     }
     if p2 is not None:
         line["pallas2_mrays"] = round(p2, 3)
+        if "pallas2_roofline" in details:
+            line["pallas2_pct_of_mxu_floor"] = (
+                details["pallas2_roofline"]["pct_of_mxu_floor"])
     elif "pallas2_512_1080p" in details:
         line["pallas2"] = details["pallas2_512_1080p"].get(
             "skipped", details["pallas2_512_1080p"].get("error", ""))[:80]

@@ -42,17 +42,21 @@ def test_morton_is_bijection():
 
 
 def test_morton_table_roundtrip():
-    """Every cell's packed word lands at its morton index."""
+    """Every cell's packed word lands at its morton index, in the signed
+    bf16 encoding (+child_bits for occupied cells, -D for empty ones)."""
     grid = scenes()["terrain"]
-    from vxtpu.world.packed import _packed_words, build_packed
+    from vxtpu.world.packed import _packed_words
 
     acc_m = build_packed_morton(grid.occupancy)
-    words_rm = np.asarray(_packed_words(grid.occupancy, 64))
-    flat_m = np.asarray(acc_m.words).reshape(-1)
-    S = DIMS[0] // 2
+    assert acc_m.words.dtype == jnp.float32  # storage f32; kernel casts window to bf16
+    words_rm = np.asarray(_packed_words(grid.occupancy, 64)).astype(np.int32)
+    flat_m = np.asarray(acc_m.words.astype(jnp.float32)).reshape(-1)
     for (x, y, z) in [(0, 0, 0), (3, 7, 11), (15, 15, 15), (8, 1, 14)]:
         mi = int(morton3(jnp.int32(x), jnp.int32(y), jnp.int32(z)))
-        assert flat_m[mi] == words_rm[x, y, z]
+        w = words_rm[x, y, z]
+        cb, dist = w & 255, w >> 8
+        expect = cb if cb > 0 else -dist
+        assert flat_m[mi] == expect, (flat_m[mi], cb, dist)
 
 
 def _check(r, f, min_agree=1.0):

@@ -64,14 +64,26 @@ def main():
         float(dep)
         return (time.perf_counter() - t0) / iters, compile_s
 
-    cases = [
-        ("block32_w64", 64, (32, 32)),
-        ("block32_w128", 128, (32, 32)),
-        ("strip_w128", 128, None),
-        ("block32_w32", 32, (32, 32)),
-        ("block32_w256", 256, (32, 32)),
-        ("strip_w256", 256, None),
-    ]
+    import sys
+    if "--batched" in sys.argv:
+        # second pass: batched one-hot matmul lookup (one [1024,W]@[W,128]
+        # per iter instead of 8 [128,W]@[W,128] weight reloads)
+        cases = [
+            ("bf16_block32_w1024", 1024, (32, 32)),
+            ("bf16_block32_w1536", 1536, (32, 32)),
+            ("bf16_block32_w2048", 2048, (32, 32)),
+            ("bf16_block32_w512", 512, (32, 32)),
+            ("bf16_block32_w3072", 3072, (32, 32)),
+        ]
+    else:
+        cases = [
+            ("block32_w64", 64, (32, 32)),
+            ("block32_w128", 128, (32, 32)),
+            ("strip_w128", 128, None),
+            ("block32_w32", 32, (32, 32)),
+            ("block32_w256", 256, (32, 32)),
+            ("strip_w256", 256, None),
+        ]
     for name, wdw, blk in cases:
         try:
             dt, cs = timed(wdw, blk)
@@ -80,7 +92,10 @@ def main():
         except Exception as e:
             out[name] = dict(error=str(e)[:400])
         say(f"{name}: {out[name]}")
-        with open("tools/probe_pallas2_sweep_out.json", "w") as fp:
+        fname = ("tools/probe_pallas2_sweep_batched_out.json"
+                 if "--batched" in sys.argv
+                 else "tools/probe_pallas2_sweep_out.json")
+        with open(fname, "w") as fp:
             json.dump(out, fp, indent=1)
     say("done")
 

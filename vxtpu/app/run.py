@@ -45,6 +45,10 @@ def _build_scene(cfg, dims=None, accel_kind="distfield"):
         from vxtpu.world.packed import build_packed
 
         accel = build_packed(grid.occupancy)
+    elif accel_kind == "morton":
+        from vxtpu.world.packed import build_packed_morton
+
+        accel = build_packed_morton(grid.occupancy, cap=64)
     else:
         accel = None
     X, Y, Z = dims
@@ -66,7 +70,10 @@ def _save_png(path: str, img) -> None:
     Image.fromarray(arr).save(path)
 
 
-def _kernel_factory(name: str):
+def _kernel_factory(name: str, image_shape=None):
+    """image_shape=(H, W): lets tile-structured kernels (pallas2) cut rays
+    into spatially-coherent 32x32 image blocks — a pure layout win, parity-
+    tested; other kernels ignore it."""
     if name == "ref":
         from vxtpu.render.kernel_ref import make_march_ref
 
@@ -76,9 +83,14 @@ def _kernel_factory(name: str):
 
         return make_march_pallas
     if name == "pallas2":
+        import functools
+
         from vxtpu.render.kernel_pallas_v2 import make_march_pallas_v2
 
-        return make_march_pallas_v2
+        window = int(os.environ.get("VXTPU_PALLAS2_WINDOW", "1024"))
+        return functools.partial(make_march_pallas_v2,
+                                 image_shape=image_shape, window=window,
+                                 block_shape=(32, 32) if image_shape else None)
     if name == "pallas-interpret":
         import functools
 
@@ -107,7 +119,7 @@ def cmd_render(args) -> int:
     h = args.height or cfg.height
     w = args.width or cfg.width
     grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
-    factory = _kernel_factory(args.kernel)
+    factory = _kernel_factory(args.kernel, image_shape=(h, w))
     atlas = None
     if getattr(args, "atlas", False):
         from vxtpu.world.atlas import build_procedural_atlas
@@ -148,7 +160,7 @@ def cmd_animate(args) -> int:
         height=1.1 * Z,
         period=args.frames / 24.0,
     )
-    factory = _kernel_factory(args.kernel)
+    factory = _kernel_factory(args.kernel, image_shape=(h, w))
 
     @jax.jit
     def frame(g, a, t):
@@ -333,7 +345,7 @@ def cmd_bench(args) -> int:
     h = args.height or cfg.height
     w = args.width or cfg.width
     grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
-    factory = _kernel_factory(args.kernel)
+    factory = _kernel_factory(args.kernel, image_shape=(h, w))
     sink = MetricsSink()
 
     @jax.jit
@@ -370,7 +382,7 @@ def cmd_scaling(args) -> int:
     h = args.height or cfg.height
     w = args.width or cfg.width
     grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
-    factory = _kernel_factory(args.kernel)
+    factory = _kernel_factory(args.kernel, image_shape=(h, w))
     sink = MetricsSink()
 
     n_max = len(jax.devices())
@@ -417,7 +429,8 @@ def main(argv=None) -> int:
         sp.add_argument("--height", type=int, default=0)
         sp.add_argument("--width", type=int, default=0)
         sp.add_argument("--accel",
-                        choices=["distfield", "pyramid", "packed", "none"],
+                        choices=["distfield", "pyramid", "packed", "morton",
+                                 "none"],
                         default="distfield")
         sp.add_argument("--kernel",
                         choices=["xla", "wavefront", "ref", "pallas",

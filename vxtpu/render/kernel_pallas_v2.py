@@ -64,26 +64,36 @@ def _morton3(x, y, z):
 
 
 def _lookup_window(win, row_rel, lane, W):
-    """win [W,128] f32, row_rel/lane int32 [8,128] -> win[row_rel, lane].
+    """win [W,128] f32, row_rel/lane int32 [8,128] -> f32 win[row_rel, lane].
 
-    Same MXU one-hot gather as v1's _lookup, restricted to the window:
-    per static ray-column c, G = rowOH @ win selects each ray's window row,
-    then a lane-one-hot reduce picks the lane. Out-of-window rows must be
-    pre-clamped by the caller (their results are masked out).
+    Same MXU one-hot gather as v1's _lookup, restricted to the window, but
+    BATCHED and in bf16: the 8 per-sublane-row one-hots are stacked into one
+    [1024, W] bf16 operand so the fetch is a single bf16 MXU matmul (win's
+    signed-integer encoding is bf16-exact, see world/packed.PackedMorton;
+    the one-hot row has exactly one nonzero so no accumulation error).
+    G = rowOH_all @ win selects each ray's window row, then a lane-one-hot
+    reduce picks the lane. Out-of-window rows must be pre-clamped by the
+    caller (their results are masked out).
     """
     rt = jnp.transpose(row_rel)                   # [128, 8]
     lt = jnp.transpose(lane)                      # [128, 8]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    rowoh_all = jnp.concatenate(
+        [(iota_w == rt[:, c:c + 1]).astype(jnp.bfloat16) for c in range(8)],
+        axis=0)                                   # [1024, W] bf16
+    # win's signed encoding is bf16-exact (|values| <= 255); casting the
+    # window (not the stored table: Mosaic's dynamic sublane slice needs
+    # f32 tiling) runs the fetch at the MXU's bf16 rate
+    g_all = jnp.dot(rowoh_all, win.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
     cols = []
     for c in range(8):
-        rc = rt[:, c:c + 1]                       # [128, 1]
         lc = lt[:, c:c + 1]
-        rowoh = (iota_w == rc).astype(jnp.float32)
-        g = jnp.dot(rowoh, win, preferred_element_type=jnp.float32)
         laneoh = (iota_l == lc).astype(jnp.float32)
+        g = g_all[c * 128:(c + 1) * 128]
         cols.append(jnp.sum(g * laneoh, axis=1, keepdims=True))
-    return jnp.transpose(jnp.concatenate(cols, axis=1))  # [8,128]
+    return jnp.transpose(jnp.concatenate(cols, axis=1))  # [8,128] f32
 
 
 def _childbit(cb, vx, vy, vz):
@@ -98,7 +108,7 @@ def _childbit(cb, vx, vy, vz):
 def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                   tbl_ref,
                   hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
-                  steps_ref,
+                  steps_ref, iters_ref,
                   *, dims, max_steps, window):
     X, Y, Z = dims
     rows = tbl_ref.shape[0]
@@ -248,10 +258,11 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         in_win = (row_rel >= 0) & (row_rel < W)
         fetch = need & in_win                            # progress this iter
         win = tbl_ref[pl.ds(base, W), :]
-        word = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane,
-                              W).astype(jnp.int32)
-        ncb = word & 255
-        ndist = word >> 8
+        wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane, W)
+        # signed bf16 encoding (world/packed.py): >0 -> child bits of an
+        # occupied cell; <0 -> -D empty-space jump radius
+        ncb = jnp.maximum(wv, 0.0).astype(jnp.int32)
+        ndist = jnp.maximum(-wv, 0.0).astype(jnp.int32)
         solid = _childbit(ncb, nvx, nvy, nvz) == 1
 
         new_hit = fetch & solid
@@ -273,7 +284,7 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         )
 
     s = jax.lax.while_loop(cond, body, state)
-    vx, vy, vz, _, _, hit, t_hit, rax, rsg, steps, _, _, _ = s
+    vx, vy, vz, _, _, hit, t_hit, rax, rsg, steps, _, _, it = s
 
     hit_ref[:] = hit
     t_ref[:] = t_hit
@@ -283,6 +294,9 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
     ax_ref[:] = rax
     sg_ref[:] = rsg
     steps_ref[:] = steps
+    # per-tile loop-iteration count (stall accounting for the roofline
+    # model: iters - max(steps in tile) = serialization cost of windowing)
+    iters_ref[:] = jnp.full(TILE, 1, jnp.int32) * it
 
 
 def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
@@ -291,6 +305,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     image_shape: tuple[int, int] | None = None,
                     window: int = 16,
                     block_shape: tuple[int, int] | None = None,
+                    stats: bool = False,
                     interpret: bool = False) -> HitRecord:
     """March rays o,d [N,3] through the Morton packed-accel world.
 
@@ -336,7 +351,8 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                                 memory_space=pltpu.VMEM)
         out_shape = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), t)
                      for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
-                               jnp.int32, jnp.int32, jnp.int32, jnp.int32)]
+                               jnp.int32, jnp.int32, jnp.int32, jnp.int32,
+                               jnp.int32)]
 
         def unpack(x):
             img = x.reshape(gh, gw, bh, bw).transpose(0, 2, 1, 3)
@@ -361,7 +377,8 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                                 memory_space=pltpu.VMEM)
         out_shape = [jax.ShapeDtypeStruct((Hp, Wp), t)
                      for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
-                               jnp.int32, jnp.int32, jnp.int32, jnp.int32)]
+                               jnp.int32, jnp.int32, jnp.int32, jnp.int32,
+                               jnp.int32)]
         unpack = lambda x: x[:H, :W_img].reshape(-1)
     else:
         pad = (-n) % TILE_RAYS
@@ -382,19 +399,20 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                                 memory_space=pltpu.VMEM)
         out_shape = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), t)
                      for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
-                               jnp.int32, jnp.int32, jnp.int32, jnp.int32)]
+                               jnp.int32, jnp.int32, jnp.int32, jnp.int32,
+                               jnp.int32)]
         unpack = lambda x: x.reshape(-1)[:n]
 
     tbl_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_march_kernel, dims=dims, max_steps=max_steps,
                              window=window)
-    table_bytes = rows * 128 * 4
+    table_bytes = rows * 128 * accel.words.dtype.itemsize
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[ray_spec] * 7 + [tbl_spec],
-        out_specs=[ray_spec] * 8,
+        out_specs=[ray_spec] * 9,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(table_bytes + 16 * 1024 * 1024,
@@ -402,13 +420,32 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
         interpret=interpret,
     )(*chans, accel.words)
 
-    hit, t, vx, vy, vz, ax, sg, steps = [unpack(x) for x in outs]
+    hit, t, vx, vy, vz, ax, sg, steps = [unpack(x) for x in outs[:8]]
     voxel = jnp.stack([vx, vy, vz], axis=-1)
     normal = -sg[:, None].astype(jnp.float32) * jax.nn.one_hot(
         ax, 3, dtype=jnp.float32)
     normal = jnp.where(hit[:, None] > 0, normal, 0.0)
-    return HitRecord(hit=hit > 0, t=t, voxel=voxel, normal=normal,
-                     steps=steps)
+    rec = HitRecord(hit=hit > 0, t=t, voxel=voxel, normal=normal,
+                    steps=steps)
+    if not stats:
+        return rec
+    # per-tile while-loop iteration counts (one scalar per kernel tile,
+    # broadcast over the tile by the kernel): raw iters output is tile-
+    # constant, so sampling one lane per [8,128] tile recovers it exactly.
+    # steps_tile_max is the per-tile max march-step count from the SAME raw
+    # tiling — the no-stall ideal iteration count of that tile (+1 entry
+    # fetch), for roofline stall accounting.
+    def per_tile(raw, red):
+        if raw.shape[1] == TILE[1]:
+            t3 = raw.reshape(-1, TILE[0], TILE[1])
+            return red(t3, (1, 2))
+        t4 = raw.reshape(raw.shape[0] // TILE[0], TILE[0],
+                         raw.shape[1] // TILE[1], TILE[1])
+        return jnp.moveaxis(red(t4, (1, 3)), 0, 0).reshape(-1)
+
+    iters_tile = per_tile(outs[8], lambda a, ax: jnp.max(a, axis=ax))
+    steps_tile_max = per_tile(outs[7], lambda a, ax: jnp.max(a, axis=ax))
+    return rec, dict(iters_tile=iters_tile, steps_tile_max=steps_tile_max)
 
 
 def make_march_pallas_v2(occ_flat, dims, settings, accel=None,

@@ -120,7 +120,22 @@ def build_packed(occupancy: jax.Array, cap: int = 64) -> PackedAccel:
 class PackedMorton:
     """Morton-linearized packed table (v2 kernel): words float32 [rows,128]
     where linear cell index = morton3(cx, cy, cz). Requires a cubic
-    power-of-two coarse grid (bijection onto [0, S³))."""
+    power-of-two coarse grid (bijection onto [0, S³)).
+
+    SIGNED ENCODING — the key observation is that a cell's child bits and
+    its empty-space distance are MUTUALLY EXCLUSIVE (dist==0 iff the cell
+    holds any solid voxel iff child_bits>=1), so one signed small integer
+    carries both:
+
+        word =  child_bits   (1..255)  if the cell contains solid voxels
+        word = -D            (-1..-64) if empty (D = coarse chessboard dist)
+
+    Every value lies in [-255, 255], exactly representable in bfloat16
+    (8-bit significand) — so the kernel may cast its sliced window to bf16
+    losslessly and run the one-hot table fetch as a single bf16 MXU matmul
+    (several x the f32 rate). Storage stays f32 because Mosaic's dynamic
+    sublane slicing (pl.ds on the window base) only supports f32 tiling on
+    this toolchain — the bf16 cast happens per-window inside the kernel."""
 
     words: jax.Array
 
@@ -130,15 +145,18 @@ class PackedMorton:
 
 
 def build_packed_morton(occupancy: jax.Array, cap: int = 64) -> PackedMorton:
-    """Morton-order packed table from a uint8 occupancy grid [X,Y,Z]
-    (X == Y == Z, power of two)."""
+    """Morton-order signed packed table from a uint8 occupancy grid
+    [X,Y,Z] (X == Y == Z, power of two)."""
     X, Y, Z = occupancy.shape
     assert X == Y == Z and (X & (X - 1)) == 0, (
         "morton packed table needs a cubic power-of-two grid")
-    word = _packed_words(occupancy, cap)
+    word = _packed_words(occupancy, cap).astype(jnp.int32)
+    cb = word & 255
+    dist = word >> 8
+    signed = jnp.where(cb > 0, cb, -dist).astype(jnp.float32)
     S = X // 2
     ii, jj, kk = jnp.meshgrid(jnp.arange(S), jnp.arange(S), jnp.arange(S),
                               indexing="ij")
     mi = morton3(ii, jj, kk).reshape(-1)
-    flat = jnp.zeros((S * S * S,), jnp.float32).at[mi].set(word.reshape(-1))
+    flat = jnp.zeros((S * S * S,), jnp.float32).at[mi].set(signed.reshape(-1))
     return PackedMorton(words=_pad_rows(flat))
