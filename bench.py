@@ -118,6 +118,27 @@ def bench_forward(details):
                               schedule="adaptive(valid_count)",
                               kernel="wavefront")
 
+    # ---- inside-the-grid camera (flythrough frame): 100% AABB-valid rays,
+    # the case the old hardcoded 9/16 schedule overflowed on. Run with the
+    # DEFAULT adaptive schedule to show it generalizes.
+    cam_in = Camera.make(pos=(256.0, 256.0, 120.0),
+                         fov_y_deg=55.0).look_at((500.0, 400.0, 90.0))
+    o_in, d_in = generate_rays(cam_in, H, W)
+    vc_in = count_valid_rays(o_in, d_in, dims)
+    factory_in = functools.partial(make_march_wavefront, valid_count=vc_in)
+
+    @jax.jit
+    def frame_in(g, acc, eps):
+        cam2 = cam_in.replace(yaw=cam_in.yaw + eps * 1e-6)
+        img = render_image(factory_in, g, cam2, lights, settings, H, W, acc)
+        return img, jnp.mean(img)
+
+    dt_in = _chain_time(lambda g, a, e: frame_in(g, a, e)[1], (grid, accel))
+    details["forward_inside_camera"] = dict(
+        frame_ms=round(dt_in * 1e3, 1),
+        mrays=round(H * W / dt_in / 1e6, 3), valid_rays=vc_in,
+        schedule="adaptive(valid_count)", kernel="wavefront")
+
     # ---- exact execution counters for the roofline model
     @jax.jit
     def stats_fn(o, d, df_flat):

@@ -157,3 +157,22 @@ def test_pallas_v2_block_permutation_invariance():
     np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)
     assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()
     assert (np.array(a.normal)[h] == np.array(b.normal)[h]).all()
+
+
+def test_pallas_v2_sublane_windows_invariance():
+    """sublane_windows (8 per-sub-row windows) is a performance knob, never
+    a semantics knob: results must match the shared-window path exactly."""
+    grid = scenes()["terrain"]
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["outside"]
+    o, d = generate_rays(cam, 64, 64)
+    ms = 128
+    a = march_pallas_v2(o, d, accel, DIMS, ms, image_shape=(64, 64),
+                        window=8, block_shape=(32, 32), interpret=True)
+    b = march_pallas_v2(o, d, accel, DIMS, ms, image_shape=(64, 64),
+                        window=8, block_shape=(32, 32),
+                        sublane_windows=True, interpret=True)
+    assert (np.array(a.hit) == np.array(b.hit)).all()
+    h = np.array(a.hit)
+    np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)
+    assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()

@@ -154,12 +154,13 @@ def main():
     rows = accel.rows
     window = 1024
 
-    def run(variant):
+    def run(variant, wdw=None):
         ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
         tbl_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)
-        kern = functools.partial(_kernel, window=window, variant=variant)
+        kern = functools.partial(_kernel, window=wdw or window,
+                                 variant=variant)
         f = pl.pallas_call(
             kern, grid=(nt, 1),
             in_specs=[ray_spec] * 6 + [tbl_spec],
@@ -189,6 +190,23 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         return dt, compile_s
 
+    import sys
+    if "--wscale" in sys.argv:
+        # fetch-cost scaling vs window size (full variant, forced iters)
+        for wdw in (128, 256, 512, 1024):
+            global_window = wdw
+            try:
+                dt, cs = run("full", wdw)
+                out[f"full_w{wdw}"] = dict(
+                    ms=round(dt * 1e3, 1), compile_s=round(cs, 1),
+                    per_iter_us=round(dt / (nt * N_ITERS) * 1e6, 3))
+            except Exception as e:
+                out[f"full_w{wdw}"] = dict(error=str(e)[:300])
+            print(json.dumps({f"full_w{wdw}": out[f"full_w{wdw}"]}),
+                  flush=True)
+            with open("tools/probe_pallas2_cost_wscale_out.json", "w") as fp:
+                json.dump(out, fp, indent=1)
+        return
     for variant in ("empty", "nofetch", "nomath", "full"):
         try:
             dt, cs = run(variant)

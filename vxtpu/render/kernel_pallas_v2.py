@@ -109,7 +109,7 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                   tbl_ref,
                   hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
                   steps_ref, iters_ref,
-                  *, dims, max_steps, window):
+                  *, dims, max_steps, window, sublane_windows=False):
     X, Y, Z = dims
     rows = tbl_ref.shape[0]
     W = window
@@ -251,14 +251,42 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         widx = _morton3(nvx >> 1, nvy >> 1, nvz >> 1)
         row = widx >> 7
         lane = widx & 127
-        base = jnp.min(jnp.where(need, row, rows - 1))
-        base = jnp.minimum(base, rows - W)
-        base = jnp.maximum(base, 0)
-        row_rel = row - base
-        in_win = (row_rel >= 0) & (row_rel < W)
-        fetch = need & in_win                            # progress this iter
-        win = tbl_ref[pl.ds(base, W), :]
-        wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane, W)
+        if sublane_windows:
+            # 8 independent windows, one per 128-ray sub-row: each sub-
+            # cluster is spatially tighter than the whole tile, so W can be
+            # ~8x smaller — the one-hot build and matmul shrink with it.
+            row_m = jnp.where(need, row, rows - 1)
+            rmt = jnp.transpose(row_m)                # [128, 8]
+            rt = jnp.transpose(row)                   # [128, 8]
+            lt = jnp.transpose(lane)                  # [128, 8]
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+            iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            cols, inw_cols = [], []
+            for c in range(8):
+                base_c = jnp.min(rmt[:, c:c + 1])
+                base_c = jnp.maximum(jnp.minimum(base_c, rows - W), 0)
+                rel_c = rt[:, c:c + 1] - base_c       # [128, 1]
+                inw_cols.append(((rel_c >= 0) & (rel_c < W))
+                                .astype(jnp.int32))
+                win_c = tbl_ref[pl.ds(base_c, W), :]
+                rowoh = (iota_w == jnp.clip(rel_c, 0, W - 1)).astype(
+                    jnp.bfloat16)
+                g = jnp.dot(rowoh, win_c.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                laneoh = (iota_l == lt[:, c:c + 1]).astype(jnp.float32)
+                cols.append(jnp.sum(g * laneoh, axis=1, keepdims=True))
+            wv = jnp.transpose(jnp.concatenate(cols, axis=1))
+            in_win = jnp.transpose(jnp.concatenate(inw_cols, axis=1)) == 1
+            fetch = need & in_win                    # progress this iter
+        else:
+            base = jnp.min(jnp.where(need, row, rows - 1))
+            base = jnp.minimum(base, rows - W)
+            base = jnp.maximum(base, 0)
+            row_rel = row - base
+            in_win = (row_rel >= 0) & (row_rel < W)
+            fetch = need & in_win                    # progress this iter
+            win = tbl_ref[pl.ds(base, W), :]
+            wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane, W)
         # signed bf16 encoding (world/packed.py): >0 -> child bits of an
         # occupied cell; <0 -> -D empty-space jump radius
         ncb = jnp.maximum(wv, 0.0).astype(jnp.int32)
@@ -305,6 +333,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     image_shape: tuple[int, int] | None = None,
                     window: int = 16,
                     block_shape: tuple[int, int] | None = None,
+                    sublane_windows: bool = False,
                     stats: bool = False,
                     interpret: bool = False) -> HitRecord:
     """March rays o,d [N,3] through the Morton packed-accel world.
@@ -406,7 +435,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     tbl_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_march_kernel, dims=dims, max_steps=max_steps,
-                             window=window)
+                             window=window, sublane_windows=sublane_windows)
     table_bytes = rows * 128 * accel.words.dtype.itemsize
     outs = pl.pallas_call(
         kern,
@@ -450,7 +479,8 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
 
 def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
                          image_shape=None, window: int = 16,
-                         block_shape=None, interpret: bool = False):
+                         block_shape=None, sublane_windows: bool = False,
+                         interpret: bool = False):
     """Pipeline march-factory (same shape as make_march_xla). ``accel`` must
     be a PackedMorton (built from the grid if omitted)."""
     if not isinstance(accel, PackedMorton):
@@ -460,4 +490,5 @@ def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
     return functools.partial(march_pallas_v2, accel=accel, dims=dims,
                              max_steps=max_steps, image_shape=image_shape,
                              window=window, block_shape=block_shape,
+                             sublane_windows=sublane_windows,
                              interpret=interpret)
