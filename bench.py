@@ -235,6 +235,7 @@ def bench_pallas2(details):
                       fov_y_deg=55.0).look_at((256.0, 256.0, 140.0))
     max_steps = sum(dims) + 2
     window = int(os.environ.get("VXTPU_PALLAS2_WINDOW", "1024"))
+    unroll = int(os.environ.get("VXTPU_PALLAS2_UNROLL", "2"))
     block = (32, 32)
     settings = RenderSettings(shading="lambert", step_chunk=8)
     lights = Lights.single((100.0, -150.0, 700.0), intensity=2.0)
@@ -247,18 +248,20 @@ def bench_pallas2(details):
             o = o.at[0, 0].add(dep * 1e-12)
             rec = march_pallas_v2(o, d, type(accel)(words=words), dims,
                                   max_steps, image_shape=(H, W),
-                                  window=window, block_shape=block)
+                                  window=window, block_shape=block,
+                                  unroll=unroll)
             return jnp.sum(jnp.where(rec.hit, rec.t, 0.0)) * 1e-6
 
         dt_m = _chain_time(f, (o, d, accel.words), iters=3)
         details["pallas2_march"] = dict(
             ms=round(dt_m * 1e3, 1), mrays=round(H * W / dt_m / 1e6, 3),
-            window=window, block="32x32", table="bf16-signed")
+            window=window, unroll=unroll, block="32x32",
+            table="signed-word bf16 fetch")
 
         # ---- full shaded frame (headline-comparable with the wavefront)
         factory = functools.partial(make_march_pallas_v2, accel=accel,
                                     image_shape=(H, W), window=window,
-                                    block_shape=block)
+                                    block_shape=block, unroll=unroll)
 
         @jax.jit
         def frame(g, words, eps):
@@ -281,7 +284,7 @@ def bench_pallas2(details):
             rec, st = march_pallas_v2(o, d, type(accel)(words=words), dims,
                                       max_steps, image_shape=(H, W),
                                       window=window, block_shape=block,
-                                      stats=True)
+                                      unroll=unroll, stats=True)
             return (jnp.sum(st["iters_tile"]),
                     jnp.sum(st["steps_tile_max"] + 1),
                     jnp.sum(rec.steps))

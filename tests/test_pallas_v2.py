@@ -176,3 +176,52 @@ def test_pallas_v2_sublane_windows_invariance():
     h = np.array(a.hit)
     np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)
     assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()
+
+
+def test_pallas_v2_sorted_multiround_parity():
+    """march_pallas_v2_sorted (capped round-0 -> Morton-sorted resume ->
+    while-drain) must match the single-round kernel exactly, including
+    when tiny budgets/buffers force real resumes and drain trips."""
+    from vxtpu.render.kernel_pallas_v2 import march_pallas_v2_sorted
+
+    grid = scenes()["terrain"]
+    accel = build_packed_morton(grid.occupancy)
+    for cam in cameras().values():
+        o, d = generate_rays(cam, 64, 64)
+        a = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(64, 64),
+                            window=16, block_shape=(32, 32), interpret=True)
+        b = march_pallas_v2_sorted(
+            o, d, accel, DIMS, 128, image_shape=(64, 64), window=16,
+            block_shape=(32, 32), round0_iters=6, survivor_frac=8,
+            resume_window=8, interpret=True)
+        assert (np.array(a.hit) == np.array(b.hit)).all()
+        h = np.array(a.hit)
+        np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h],
+                                   rtol=1e-6)
+        assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()
+        assert (np.array(a.normal)[h] == np.array(b.normal)[h]).all()
+
+
+def test_pallas_v2_resume_fresh_sentinel():
+    """A resume with every ray marked -2 (entry fetch pending) must equal a
+    from-scratch march: the fresh path re-fetches the given entry voxel."""
+    import jax.numpy as jnp
+
+    from vxtpu.render import dda
+
+    grid = scenes()["box"]
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["outside"]
+    o, d = generate_rays(cam, 32, 32)
+    a = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(32, 32),
+                        window=accel.rows, interpret=True)
+    t_enter, _, _ = dda.ray_grid_clip(o, d, DIMS)
+    v0, _, _, _ = dda.dda_init(o, d, t_enter, DIMS)
+    b = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(32, 32),
+                        window=accel.rows,
+                        resume_state=(v0, jnp.full((o.shape[0],), -2,
+                                                   jnp.int32)),
+                        interpret=True)
+    assert (np.array(a.hit) == np.array(b.hit)).all()
+    h = np.array(a.hit)
+    np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)

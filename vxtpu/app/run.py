@@ -88,8 +88,10 @@ def _kernel_factory(name: str, image_shape=None):
         from vxtpu.render.kernel_pallas_v2 import make_march_pallas_v2
 
         window = int(os.environ.get("VXTPU_PALLAS2_WINDOW", "1024"))
+        unroll = int(os.environ.get("VXTPU_PALLAS2_UNROLL", "2"))
         return functools.partial(make_march_pallas_v2,
                                  image_shape=image_shape, window=window,
+                                 unroll=unroll,
                                  block_shape=(32, 32) if image_shape else None)
     if name == "pallas-interpret":
         import functools

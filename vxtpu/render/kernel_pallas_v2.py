@@ -75,8 +75,12 @@ def _lookup_window(win, row_rel, lane, W):
     reduce picks the lane. Out-of-window rows must be pre-clamped by the
     caller (their results are masked out).
     """
-    rt = jnp.transpose(row_rel)                   # [128, 8]
-    lt = jnp.transpose(lane)                      # [128, 8]
+    # ONE transpose of the packed (row<<7|lane) index instead of two: the
+    # transpose relayout is part of the measured fixed fetch overhead
+    # (tools/probe_pallas2_fixed_out.json)
+    wt = jnp.transpose((row_rel << 7) | lane)     # [128, 8]
+    rt = wt >> 7
+    lt = wt & 127
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     rowoh_all = jnp.concatenate(
@@ -105,11 +109,18 @@ def _childbit(cb, vx, vy, vz):
     return bit
 
 
-def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-                  tbl_ref,
-                  hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
-                  steps_ref, iters_ref,
-                  *, dims, max_steps, window, sublane_windows=False):
+def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
+                  resume=False, iter_budget=None, unroll=1):
+    if resume:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+         rvx_ref, rvy_ref, rvz_ref, rdist_ref, tbl_ref,
+         hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
+         steps_ref, iters_ref, done_ref, dist_ref) = refs
+    else:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+         tbl_ref,
+         hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
+         steps_ref, iters_ref, done_ref, dist_ref) = refs
     X, Y, Z = dims
     rows = tbl_ref.shape[0]
     W = window
@@ -162,24 +173,47 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
 
     vx0, vy0, vz0, _ = reinit(t_enter)
     zero = jnp.zeros(TILE, jnp.int32)
+    dist0 = zero
+    fresh0 = valid.astype(jnp.int32)
+    done0 = (~valid).astype(jnp.int32)
+    if resume:
+        # mid-flight restart (march_pallas_v2_sorted): the march is
+        # memoryless given (o, d, current voxel, current cell dist) — the
+        # DDA t invariants are pure functions of the voxel, so the resumed
+        # step continues EXACTLY where the capped round left off. Sentinels
+        # in the dist channel: -1 = dead slot, -2 = never-fetched (redo the
+        # entry fetch at the given voxel; entry t/axis from the slab clip
+        # stays correct because o, d are unchanged).
+        rd = rdist_ref[:]
+        dead = rd == -1
+        freshr = rd == -2
+        vx0 = jnp.clip(rvx_ref[:], 0, X - 1)
+        vy0 = jnp.clip(rvy_ref[:], 0, Y - 1)
+        vz0 = jnp.clip(rvz_ref[:], 0, Z - 1)
+        dist0 = jnp.maximum(rd, 0)
+        done0 = ((~valid) | dead).astype(jnp.int32)
+        fresh0 = (valid & freshr & (~dead)).astype(jnp.int32)
     # flags ride the while_loop carry as int32 (i1 vector carries trip a
     # Mosaic "unsupported target bitwidth" on this toolchain)
     state = (
         vx0, vy0, vz0,                                   # current voxel
-        zero, zero,                                      # cb, dist (unfetched)
+        zero, dist0,                                     # cb, dist
         zero,                                            # hit
         jnp.full(TILE, BIG_T, jnp.float32),              # t_hit
         zero, zero,                                      # hit axis / sign
         zero,                                            # steps
-        (~valid).astype(jnp.int32),                      # done
-        valid.astype(jnp.int32),                         # fresh (entry fetch)
+        done0,                                           # done
+        fresh0,                                          # fresh (entry fetch)
         jnp.int32(0),                                    # iter
     )
     # stalls consume iterations without consuming step budget; every
     # iteration the min-row ray progresses, so this bound is unreachable in
     # practice (the all-done early exit fires first) but guarantees
-    # termination even under full serialization.
+    # termination even under full serialization. iter_budget deliberately
+    # undercuts it: the sorted multi-round driver resumes survivors.
     iter_cap = jnp.int32(max_steps * 8 + TILE_RAYS)
+    if iter_budget is not None:
+        iter_cap = jnp.int32(min(iter_budget, max_steps * 8 + TILE_RAYS))
 
     def cond(s):
         done, it = s[10], s[12]
@@ -311,8 +345,21 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             it + 1,
         )
 
+    if unroll > 1:
+        # fewer loop boundaries: the measured per-iteration cost is largely
+        # W-independent fixed overhead (tools/probe_pallas2_fixed_out.json)
+        # — unrolling amortizes the cond sync / scalar pipeline flush over
+        # several march steps. Pure repetition of the same masked body, so
+        # semantics are unchanged (done rays are inert).
+        inner = body
+
+        def body(s):  # noqa: F811
+            for _ in range(unroll):
+                s = inner(s)
+            return s
+
     s = jax.lax.while_loop(cond, body, state)
-    vx, vy, vz, _, _, hit, t_hit, rax, rsg, steps, _, _, it = s
+    vx, vy, vz, _, dist_f, hit, t_hit, rax, rsg, steps, done_f, fresh_f, it = s
 
     hit_ref[:] = hit
     t_ref[:] = t_hit
@@ -322,6 +369,9 @@ def _march_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
     ax_ref[:] = rax
     sg_ref[:] = rsg
     steps_ref[:] = steps
+    done_ref[:] = done_f
+    # resume channel for the next round: -2 = still awaiting entry fetch
+    dist_ref[:] = jnp.where(fresh_f == 1, -2, dist_f)
     # per-tile loop-iteration count (stall accounting for the roofline
     # model: iters - max(steps in tile) = serialization cost of windowing)
     iters_ref[:] = jnp.full(TILE, 1, jnp.int32) * it
@@ -335,6 +385,10 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     block_shape: tuple[int, int] | None = None,
                     sublane_windows: bool = False,
                     stats: bool = False,
+                    iter_budget: int | None = None,
+                    resume_state: tuple | None = None,
+                    extended: bool = False,
+                    unroll: int = 1,
                     interpret: bool = False) -> HitRecord:
     """March rays o,d [N,3] through the Morton packed-accel world.
 
@@ -345,14 +399,26 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     kernel tile is a square-ish image block instead of an 8x128 strip — a
     32x32 block's 3D ray cluster spans ~4x less Morton range than a 128-px
     strip, cutting window stalls; the permutation is pure host-side XLA
-    (reshape/transpose), the kernel body is identical. Hit-equivalent to
-    kernel_pallas / kernel_xla.march_xla_df / kernel_ref (parity-tested).
+    (reshape/transpose), the kernel body is identical.
+
+    Multi-round support (march_pallas_v2_sorted): iter_budget caps the
+    per-tile loop; extended=True additionally returns
+    {done [N] bool, dist [N] int32 (-2 = entry fetch still pending)};
+    resume_state=(voxel [N,3] int32, dist [N] int32 with -1 dead / -2
+    fresh sentinels) restarts rays mid-flight — the march is memoryless
+    given (o, d, voxel, dist), so continuation is exact (parity-tested).
+
+    Hit-equivalent to kernel_pallas / kernel_xla.march_xla_df / kernel_ref
+    (parity-tested). NOTE: a resumed ray's step counter restarts at 0, so
+    max_steps budgets each round separately (the hard iteration cap still
+    bounds termination).
     """
     n = o.shape[0]
     rows = accel.rows
     window = min(window, rows)
     if t_max is None:
         t_max = jnp.full((n,), BIG_T, dtype=jnp.float32)
+    resume = resume_state is not None
 
     if (block_shape is not None and image_shape is not None
             and image_shape[0] * image_shape[1] == n):
@@ -365,83 +431,75 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
         gh, gw = Hp // bh, Wp // bw
         nt = gh * gw
 
-        def to_tiles(x, fill):
+        def pack(x, fill):
             img = jnp.pad(x.reshape(H, W_img), ((0, pad_h), (0, pad_w)),
                           constant_values=fill)
             blk = img.reshape(gh, bh, gw, bw).transpose(0, 2, 1, 3)
             return blk.reshape(nt * TILE[0], TILE[1])
 
-        chans = [to_tiles(o[:, 0], -10.0), to_tiles(o[:, 1], -10.0),
-                 to_tiles(o[:, 2], -10.0),
-                 to_tiles(d[:, 0], 0.0), to_tiles(d[:, 1], 0.0),
-                 to_tiles(d[:, 2], -1.0), to_tiles(t_max, 0.0)]
-        grid = (nt, 1)
-        ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), t)
-                     for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
-                               jnp.int32, jnp.int32, jnp.int32, jnp.int32,
-                               jnp.int32)]
-
         def unpack(x):
             img = x.reshape(gh, gw, bh, bw).transpose(0, 2, 1, 3)
             return img.reshape(Hp, Wp)[:H, :W_img].reshape(-1)
+
+        raw_shape = (nt * TILE[0], TILE[1])
+        grid = (nt, 1)
     elif image_shape is not None and image_shape[0] * image_shape[1] == n:
         H, W_img = image_shape
         pad_h = (-H) % TILE[0]
         pad_w = (-W_img) % TILE[1]
         Hp, Wp = H + pad_h, W_img + pad_w
 
-        def to2d(x, fill):
+        def pack(x, fill):
             img = x.reshape(H, W_img)
             return jnp.pad(img, ((0, pad_h), (0, pad_w)),
                            constant_values=fill)
 
-        chans = [to2d(o[:, 0], -10.0), to2d(o[:, 1], -10.0),
-                 to2d(o[:, 2], -10.0),
-                 to2d(d[:, 0], 0.0), to2d(d[:, 1], 0.0), to2d(d[:, 2], -1.0),
-                 to2d(t_max, 0.0)]
-        grid = (Hp // TILE[0], Wp // TILE[1])
-        ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((Hp, Wp), t)
-                     for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
-                               jnp.int32, jnp.int32, jnp.int32, jnp.int32,
-                               jnp.int32)]
         unpack = lambda x: x[:H, :W_img].reshape(-1)
+        raw_shape = (Hp, Wp)
+        grid = (Hp // TILE[0], Wp // TILE[1])
     else:
         pad = (-n) % TILE_RAYS
-        if pad:
-            # padding rays point away from the grid -> immediate miss
-            o = jnp.concatenate([o, jnp.full((pad, 3), -10.0, o.dtype)])
-            d = jnp.concatenate(
-                [d, jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], d.dtype),
-                             (pad, 1))])
-            t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
         nt = (n + pad) // TILE_RAYS
-        tile3 = lambda x: x.reshape(nt * TILE[0], TILE[1])
-        chans = [tile3(o[:, 0]), tile3(o[:, 1]), tile3(o[:, 2]),
-                 tile3(d[:, 0]), tile3(d[:, 1]), tile3(d[:, 2]),
-                 tile3(t_max)]
-        grid = (nt, 1)
-        ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)
-        out_shape = [jax.ShapeDtypeStruct((nt * TILE[0], TILE[1]), t)
-                     for t in (jnp.int32, jnp.float32, jnp.int32, jnp.int32,
-                               jnp.int32, jnp.int32, jnp.int32, jnp.int32,
-                               jnp.int32)]
-        unpack = lambda x: x.reshape(-1)[:n]
 
+        def pack(x, fill):
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.full((pad,), fill, x.dtype)])
+            return x.reshape(nt * TILE[0], TILE[1])
+
+        unpack = lambda x: x.reshape(-1)[:n]
+        raw_shape = (nt * TILE[0], TILE[1])
+        grid = (nt, 1)
+
+    # padding rays point away from the grid -> immediate miss; padded
+    # resume slots carry the dead sentinel
+    chans = [pack(o[:, 0], -10.0), pack(o[:, 1], -10.0),
+             pack(o[:, 2], -10.0),
+             pack(d[:, 0], 0.0), pack(d[:, 1], 0.0), pack(d[:, 2], -1.0),
+             pack(t_max, 0.0)]
+    if resume:
+        rv, rdist = resume_state
+        chans += [pack(rv[:, 0], 0), pack(rv[:, 1], 0), pack(rv[:, 2], 0),
+                  pack(rdist, -1)]
+
+    ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out_dtypes = (jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32,
+                  jnp.int32, jnp.int32, jnp.int32, jnp.int32, jnp.int32,
+                  jnp.int32)
+    out_shape = [jax.ShapeDtypeStruct(raw_shape, t) for t in out_dtypes]
     tbl_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_march_kernel, dims=dims, max_steps=max_steps,
-                             window=window, sublane_windows=sublane_windows)
+                             window=window, sublane_windows=sublane_windows,
+                             resume=resume, iter_budget=iter_budget,
+                             unroll=unroll)
     table_bytes = rows * 128 * accel.words.dtype.itemsize
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[ray_spec] * 7 + [tbl_spec],
-        out_specs=[ray_spec] * 9,
+        in_specs=[ray_spec] * len(chans) + [tbl_spec],
+        out_specs=[ray_spec] * len(out_shape),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(table_bytes + 16 * 1024 * 1024,
@@ -456,30 +514,113 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     normal = jnp.where(hit[:, None] > 0, normal, 0.0)
     rec = HitRecord(hit=hit > 0, t=t, voxel=voxel, normal=normal,
                     steps=steps)
-    if not stats:
-        return rec
-    # per-tile while-loop iteration counts (one scalar per kernel tile,
-    # broadcast over the tile by the kernel): raw iters output is tile-
-    # constant, so sampling one lane per [8,128] tile recovers it exactly.
-    # steps_tile_max is the per-tile max march-step count from the SAME raw
-    # tiling — the no-stall ideal iteration count of that tile (+1 entry
-    # fetch), for roofline stall accounting.
-    def per_tile(raw, red):
-        if raw.shape[1] == TILE[1]:
-            t3 = raw.reshape(-1, TILE[0], TILE[1])
-            return red(t3, (1, 2))
-        t4 = raw.reshape(raw.shape[0] // TILE[0], TILE[0],
-                         raw.shape[1] // TILE[1], TILE[1])
-        return jnp.moveaxis(red(t4, (1, 3)), 0, 0).reshape(-1)
+    ret = [rec]
+    if extended:
+        ret.append(dict(done=unpack(outs[9]) > 0, dist=unpack(outs[10])))
+    if stats:
+        # per-tile while-loop iteration counts (one scalar per kernel
+        # tile, broadcast over the tile by the kernel); steps_tile_max is
+        # the per-tile max march-step count from the SAME raw tiling — the
+        # no-stall ideal iteration count (+1 entry fetch) for roofline
+        # stall accounting.
+        def per_tile(raw, red):
+            if raw.shape[1] == TILE[1]:
+                t3 = raw.reshape(-1, TILE[0], TILE[1])
+                return red(t3, (1, 2))
+            t4 = raw.reshape(raw.shape[0] // TILE[0], TILE[0],
+                             raw.shape[1] // TILE[1], TILE[1])
+            return red(t4, (1, 3)).reshape(-1)
 
-    iters_tile = per_tile(outs[8], lambda a, ax: jnp.max(a, axis=ax))
-    steps_tile_max = per_tile(outs[7], lambda a, ax: jnp.max(a, axis=ax))
-    return rec, dict(iters_tile=iters_tile, steps_tile_max=steps_tile_max)
+        ret.append(dict(
+            iters_tile=per_tile(outs[8], lambda a, x: jnp.max(a, axis=x)),
+            steps_tile_max=per_tile(outs[7],
+                                    lambda a, x: jnp.max(a, axis=x))))
+    return ret[0] if len(ret) == 1 else tuple(ret)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def march_pallas_v2_sorted(o: jax.Array, d: jax.Array, accel: PackedMorton,
+                           dims: tuple[int, int, int], max_steps: int,
+                           t_max: jax.Array | None = None,
+                           image_shape: tuple[int, int] | None = None,
+                           window: int = 1024,
+                           block_shape: tuple[int, int] | None = (32, 32),
+                           round0_iters: int = 24,
+                           survivor_frac: int = 8,
+                           resume_window: int = 256,
+                           interpret: bool = False) -> HitRecord:
+    """Multi-round v2 march with MID-FLIGHT RAY RESORT — the TPU answer to
+    deep-ray divergence (the stall tail: tools/probe_pallas2_stats_out.json
+    measured 2.8x iteration overhead from tiles whose rays spread across
+    Morton space at depth).
+
+    Round 0 marches image blocks with a per-tile iteration budget — the
+    cheap, coherent majority (sky + first hits) finishes there. Survivors
+    are compacted and SORTED BY CURRENT MORTON CELL (one argsort), so the
+    resume round's tiles are clusters in WORLD space, not image space —
+    tight windows, few stalls. A host-side drain loop guarantees
+    completion if survivors ever exceed the buffer. Exact-equivalent to
+    the single-round kernel (parity-tested: the march is memoryless given
+    (o, d, voxel, dist))."""
+    n = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((n,), BIG_T, dtype=jnp.float32)
+    rec, ext = march_pallas_v2(
+        o, d, accel, dims, max_steps, t_max=t_max, image_shape=image_shape,
+        window=window, block_shape=block_shape, iter_budget=round0_iters,
+        extended=True, interpret=interpret)
+    B = min(_round_up(max(n // survivor_frac, TILE_RAYS), TILE_RAYS), n)
+
+    def resume_round(carry):
+        rec, ext = carry
+        alive = ~ext["done"]
+        v = rec.voxel
+        mkey = _morton3(v[:, 0] >> 1, v[:, 1] >> 1, v[:, 2] >> 1)
+        key = jnp.where(alive, mkey, jnp.int32(1 << 30))
+        ids = jnp.argsort(key)[:B]
+        sel_alive = jnp.take(alive, ids)
+        o2 = jnp.take(o, ids, axis=0)
+        d2 = jnp.take(d, ids, axis=0)
+        tm2 = jnp.take(t_max, ids)
+        v2 = jnp.take(v, ids, axis=0)
+        dist2 = jnp.where(sel_alive, jnp.take(ext["dist"], ids), -1)
+        rec1, ext1 = march_pallas_v2(
+            o2, d2, accel, dims, max_steps, t_max=tm2, window=resume_window,
+            resume_state=(v2, dist2), extended=True, interpret=interpret)
+        upd = sel_alive
+        tgt = jnp.where(upd, ids, n)
+
+        def scat(dst, src):
+            return dst.at[tgt].set(src, mode="drop")
+
+        rec = HitRecord(
+            hit=scat(rec.hit, rec1.hit),
+            t=scat(rec.t, rec1.t),
+            voxel=scat(rec.voxel, rec1.voxel),
+            normal=scat(rec.normal, rec1.normal),
+            steps=scat(rec.steps, jnp.take(rec.steps, ids) + rec1.steps),
+        )
+        ext = dict(done=scat(ext["done"], ext1["done"]),
+                   dist=scat(ext["dist"], ext1["dist"]))
+        return rec, ext
+
+    # one unconditional resume round (the common case: all survivors fit
+    # the sorted buffer), then a while_loop drain for adversarial scenes —
+    # the body compiles ONCE and reruns only while stragglers remain, so
+    # this stays jit-compatible with no host sync and no graph unrolling.
+    rec, ext = resume_round((rec, ext))
+    rec, ext = jax.lax.while_loop(
+        lambda c: jnp.any(~c[1]["done"]), resume_round, (rec, ext))
+    return rec
 
 
 def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
                          image_shape=None, window: int = 16,
                          block_shape=None, sublane_windows: bool = False,
+                         unroll: int = 1,
                          interpret: bool = False):
     """Pipeline march-factory (same shape as make_march_xla). ``accel`` must
     be a PackedMorton (built from the grid if omitted)."""
@@ -490,5 +631,5 @@ def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
     return functools.partial(march_pallas_v2, accel=accel, dims=dims,
                              max_steps=max_steps, image_shape=image_shape,
                              window=window, block_shape=block_shape,
-                             sublane_windows=sublane_windows,
+                             sublane_windows=sublane_windows, unroll=unroll,
                              interpret=interpret)
