@@ -259,15 +259,19 @@ def bench_pallas2(details):
             table="signed-word bf16 fetch")
 
         # ---- full shaded frame (headline-comparable with the wavefront)
-        factory = functools.partial(make_march_pallas_v2, accel=accel,
-                                    image_shape=(H, W), window=window,
-                                    block_shape=block, unroll=unroll)
-
         @jax.jit
         def frame(g, words, eps):
             cam2 = cam.replace(yaw=cam.yaw + eps * 1e-6)
             acc = type(accel)(words=words)
-            fac = functools.partial(factory, accel=acc)
+
+            def fac(occ_flat, dims_, settings_, accel_pos):
+                # render_image passes accel positionally; route the traced
+                # acc through the keyword path the factory expects
+                return make_march_pallas_v2(
+                    occ_flat, dims_, settings_, accel=acc,
+                    image_shape=(H, W), window=window, block_shape=block,
+                    unroll=unroll)
+
             img = render_image(fac, g, cam2, lights, settings, H, W, acc)
             return jnp.mean(img)
 
@@ -293,17 +297,32 @@ def bench_pallas2(details):
             int(x) for x in jax.block_until_ready(
                 stats_fn(o, d, accel.words))]
 
-        # self-calibrated bf16 one-hot matmul cost at the kernel's shape
+        # self-calibrated bf16 one-hot matmul cost at the kernel's shape.
+        # The dep MUST feed the matmul operand (a dep-free dot is loop-
+        # invariant and XLA hoists it out of the k-fold loop -> measures 0),
+        # and k must be large enough that k*~1.5us clears dispatch noise.
         key = jax.random.PRNGKey(0)
         A = (jax.random.uniform(key, (1024, window)) < 0.01).astype(
             jnp.bfloat16)
         Tb = jax.random.normal(key, (window, 128)).astype(jnp.bfloat16)
 
         def mm_body(A, Tb, dep):
-            g = jnp.dot(A, Tb, preferred_element_type=jnp.float32)
+            A2 = A + (dep * 1e-20).astype(A.dtype)
+            g = jnp.dot(A2, Tb, preferred_element_type=jnp.float32)
             return jnp.sum(g) * 1e-9 + dep
 
-        mm_ms = _per_op_ms(mm_body, (A, Tb), k=32)
+        def timed_k(k):
+            import jax as _jax
+
+            @_jax.jit
+            def run(A, Tb, dep):
+                def it(i, c):
+                    return mm_body(A, Tb, c + 0.0 * i)
+                return jax.lax.fori_loop(0, k, it, dep)
+            return _chain_time(run, (A, Tb), iters=2)
+
+        k0, k1 = 2048, 32768
+        mm_ms = max((timed_k(k1) - timed_k(k0)) / (k1 - k0) * 1e3, 0.0)
         floor_ms = iters_total * mm_ms
         details["pallas2_roofline"] = dict(
             iters_total=iters_total,
