@@ -112,9 +112,14 @@ def run_config5(cfg: Config5, settings: RenderSettings,
         if "cam_off" in extra:
             cam_off = extra["cam_off"]
 
+    # bucketed psum only pays when there is an ICI collective to overlap
+    # with backward compute; on a single-device mesh the psum is degenerate
+    # and bucketing is pure overhead (measured +34% step time,
+    # tools/bench_details.json train_step_b1 vs b4) — collapse to 1 bucket.
+    buckets = cfg.grad_buckets if mesh.devices.size > 1 else 1
     init_fn, step_fn = make_sharded_train_step(
         settings, cfg.num_samples, mesh, lr=cfg.lr, cam_lr=cfg.cam_lr,
-        optimize_camera=True, grad_buckets=cfg.grad_buckets,
+        optimize_camera=True, grad_buckets=buckets,
         lights=lights, use_custom_vjp=cfg.use_custom_vjp,
     )
 
