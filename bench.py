@@ -297,6 +297,29 @@ def bench_pallas2(details):
             int(x) for x in jax.block_until_ready(
                 stats_fn(o, d, accel.words))]
 
+        # ---- inside-the-grid camera (flythrough): all rays AABB-valid,
+        # start near geometry -> short paths; measures layout generality
+        # beyond the tuned outside viewpoint (probe recorded 41 Mrays/s)
+        from vxtpu.camera.camera import Camera as _Cam
+        cam_in = _Cam.make(pos=(256.0, 256.0, 120.0),
+                           fov_y_deg=55.0).look_at((500.0, 400.0, 90.0))
+        o_in, d_in = generate_rays(cam_in, H, W)
+
+        @jax.jit
+        def f_in(o, d, words, dep):
+            o = o.at[0, 0].add(dep * 1e-12)
+            rec = march_pallas_v2(o, d, type(accel)(words=words), dims,
+                                  max_steps, image_shape=(H, W),
+                                  window=window, block_shape=block,
+                                  unroll=unroll)
+            return jnp.sum(jnp.where(rec.hit, rec.t, 0.0)) * 1e-6
+
+        dt_in = _chain_time(f_in, (o_in, d_in, accel.words), iters=3)
+        details["pallas2_inside_camera_march"] = dict(
+            ms=round(dt_in * 1e3, 1),
+            mrays=round(H * W / dt_in / 1e6, 3), window=window,
+            block="32x32")
+
         # Roofline from the kernel's own exact counters: the frame time
         # divides by total loop iterations into a per-iteration cost
         # (cross-checked against the forced-iteration probe artifacts:
