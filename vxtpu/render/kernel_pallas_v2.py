@@ -110,7 +110,8 @@ def _childbit(cb, vx, vy, vz):
 
 
 def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
-                  resume=False, iter_budget=None, unroll=1):
+                  split_window=False, resume=False, iter_budget=None,
+                  unroll=1):
     if resume:
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
          rvx_ref, rvy_ref, rvz_ref, rdist_ref, tbl_ref,
@@ -312,6 +313,28 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
             wv = jnp.transpose(jnp.concatenate(cols, axis=1))
             in_win = jnp.transpose(jnp.concatenate(inw_cols, axis=1)) == 1
             fetch = need & in_win                    # progress this iter
+        elif split_window:
+            # TWO W/2 segments: seg1 at the min needy row (progress
+            # guarantee), seg2 at the min row seg1 does NOT cover. Morton
+            # codes jump by half the range when a ray crosses a top-level
+            # octant mid-plane, so deep tiles are often BIMODAL in row
+            # space — two half-windows cover both modes where one
+            # contiguous window of the same total size cannot.
+            Wh = W // 2
+            base1 = jnp.min(jnp.where(need, row, rows - 1))
+            base1 = jnp.maximum(jnp.minimum(base1, rows - Wh), 0)
+            r1 = row - base1
+            cov1 = (r1 >= 0) & (r1 < Wh)
+            base2 = jnp.min(jnp.where(need & ~cov1, row, rows - 1))
+            base2 = jnp.maximum(jnp.minimum(base2, rows - Wh), 0)
+            r2 = row - base2
+            cov2 = (r2 >= 0) & (r2 < Wh)
+            in_win = cov1 | cov2
+            fetch = need & in_win                    # progress this iter
+            win = jnp.concatenate([tbl_ref[pl.ds(base1, Wh), :],
+                                   tbl_ref[pl.ds(base2, Wh), :]], axis=0)
+            row_rel = jnp.where(cov1, r1, Wh + r2)
+            wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane, W)
         else:
             base = jnp.min(jnp.where(need, row, rows - 1))
             base = jnp.minimum(base, rows - W)
@@ -384,6 +407,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     window: int = 16,
                     block_shape: tuple[int, int] | None = None,
                     sublane_windows: bool = False,
+                    split_window: bool = False,
                     stats: bool = False,
                     iter_budget: int | None = None,
                     resume_state: tuple | None = None,
@@ -492,6 +516,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_march_kernel, dims=dims, max_steps=max_steps,
                              window=window, sublane_windows=sublane_windows,
+                             split_window=split_window,
                              resume=resume, iter_budget=iter_budget,
                              unroll=unroll)
     table_bytes = rows * 128 * accel.words.dtype.itemsize
