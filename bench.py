@@ -234,9 +234,10 @@ def bench_pallas2(details):
     cam = Camera.make(pos=(-360.0, 256.0, 560.0),
                       fov_y_deg=55.0).look_at((256.0, 256.0, 140.0))
     max_steps = sum(dims) + 2
-    window = int(os.environ.get("VXTPU_PALLAS2_WINDOW", "1024"))
-    unroll = int(os.environ.get("VXTPU_PALLAS2_UNROLL", "2"))
-    block = (32, 32)
+    # tuning comes from the config system (MarchTuning defaults ARE the
+    # benched configuration — no env vars)
+    tn = RenderSettings().tuning
+    window, unroll, block = tn.window, tn.unroll, tn.block
     settings = RenderSettings(shading="lambert", step_chunk=8)
     lights = Lights.single((100.0, -150.0, 700.0), intensity=2.0)
     o, d = generate_rays(cam, H, W)
@@ -343,7 +344,7 @@ def bench_pallas2(details):
                   "machinery-bound, window-size independent); floor = "
                   "per-tile max-march-steps ideal x per_iter — the gap is "
                   "Morton window stalling from deep-ray divergence"))
-        return mrays
+        return mrays, dt
     except Exception as e:
         details["pallas2_512_1080p"] = dict(error=str(e)[:400])
     return None
@@ -413,9 +414,11 @@ def main():
     enable_compilation_cache()
     details = {}
     mrays, dt = bench_forward(details)
-    p2 = None
+    p2 = p2_dt = None
     if os.environ.get("VXTPU_BENCH_SKIP_PALLAS2") != "1":
-        p2 = bench_pallas2(details)
+        r = bench_pallas2(details)
+        if r is not None:
+            p2, p2_dt = r
     train_ms = None
     if os.environ.get("VXTPU_BENCH_SKIP_TRAIN") != "1":
         try:
@@ -431,8 +434,8 @@ def main():
     # lambert-lit 512^3/1080p scene; per-kernel detail in bench_details)
     best, kern, best_dt = mrays, "wavefront", dt
     if p2 is not None and p2 > best:
-        best, kern = p2, "pallas2(morton-window bf16)"
-        best_dt = details["pallas2_512_1080p"]["ms"] / 1e3
+        # raw dt, not the rounded details entry (ADVICE r3)
+        best, kern, best_dt = p2, "pallas2(morton-window bf16)", p2_dt
     line = {
         "metric": "Mrays/s/chip @ 512^3 grid, 1080p forward",
         "value": round(best, 3),

@@ -225,3 +225,76 @@ def test_pallas_v2_resume_fresh_sentinel():
     assert (np.array(a.hit) == np.array(b.hit)).all()
     h = np.array(a.hit)
     np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)
+
+
+def _bimodal_scene():
+    """Two solid boxes in OPPOSITE top-level octants of a 32^3 grid: their
+    coarse cells differ in the highest Morton bits, so a ray tile spanning
+    both is bimodal in table-row space — the exact case split_window's two
+    half-segments exist for (one contiguous window cannot cover both)."""
+    import jax.numpy as jnp
+
+    occ = jnp.zeros((32, 32, 32), jnp.uint8)
+    occ = occ.at[2:10, 2:10, 2:10].set(3)
+    occ = occ.at[22:30, 22:30, 22:30].set(4)
+    from vxtpu.world.grid import VoxelGrid
+
+    return VoxelGrid(occupancy=occ)
+
+
+@pytest.mark.parametrize("window", [2, 4, 8, 64])
+def test_pallas_v2_split_window_invariance(window):
+    """split_window is a performance knob, never a semantics knob — even at
+    tiny windows that force heavy stalling, and on a Morton-bimodal scene
+    where the two half-segments genuinely land in different octants."""
+    grid = _bimodal_scene()
+    accel = build_packed_morton(grid.occupancy)
+    cam = Camera.make(pos=(-14.0, -10.0, 40.0)).look_at((16.0, 16.0, 16.0))
+    o, d = generate_rays(cam, 32, 32)
+    ms = 128
+    a = march_pallas_v2(o, d, accel, DIMS, ms, image_shape=(32, 32),
+                        window=window, split_window=True, interpret=True)
+    b = march_pallas_v2(o, d, accel, DIMS, ms, image_shape=(32, 32),
+                        window=accel.rows, split_window=False,
+                        interpret=True)
+    assert bool(b.hit.any())
+    assert (np.array(a.hit) == np.array(b.hit)).all()
+    h = np.array(a.hit)
+    np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)
+    assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()
+    assert (np.array(a.steps) == np.array(b.steps)).all()
+
+
+def test_pallas_v2_split_window_odd_degrades():
+    """An odd effective window degrades split to the contiguous path
+    (identical results) instead of building a mis-sized segment pair."""
+    grid = scenes()["terrain"]
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["outside"]
+    o, d = generate_rays(cam, 16, 16)
+    a = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(16, 16),
+                        window=3, split_window=True, interpret=True)
+    b = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(16, 16),
+                        window=3, split_window=False, interpret=True)
+    assert (np.array(a.hit) == np.array(b.hit)).all()
+    h = np.array(a.hit)
+    np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h], rtol=1e-6)
+
+
+def test_pallas_v2_sorted_steps_continuity():
+    """Resumed rays thread their prior-round step counts through
+    resume_state, so rec.steps from the multi-round driver equals the
+    single-round kernel's counts EXACTLY (not just per-round budgets)."""
+    from vxtpu.render.kernel_pallas_v2 import march_pallas_v2_sorted
+
+    grid = scenes()["terrain"]
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["outside"]
+    o, d = generate_rays(cam, 64, 64)
+    a = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(64, 64),
+                        window=16, block_shape=(32, 32), interpret=True)
+    b = march_pallas_v2_sorted(
+        o, d, accel, DIMS, 128, image_shape=(64, 64), window=16,
+        block_shape=(32, 32), round0_iters=6, survivor_frac=8,
+        resume_window=8, interpret=True)
+    assert (np.array(a.steps) == np.array(b.steps)).all()

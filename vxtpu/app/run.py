@@ -87,12 +87,10 @@ def _kernel_factory(name: str, image_shape=None):
 
         from vxtpu.render.kernel_pallas_v2 import make_march_pallas_v2
 
-        window = int(os.environ.get("VXTPU_PALLAS2_WINDOW", "1024"))
-        unroll = int(os.environ.get("VXTPU_PALLAS2_UNROLL", "2"))
+        # window/unroll/split/block come from settings.tuning (MarchTuning,
+        # defaults = the benched flagship configuration)
         return functools.partial(make_march_pallas_v2,
-                                 image_shape=image_shape, window=window,
-                                 unroll=unroll,
-                                 block_shape=(32, 32) if image_shape else None)
+                                 image_shape=image_shape)
     if name == "pallas-interpret":
         import functools
 

@@ -114,7 +114,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                   unroll=1):
     if resume:
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-         rvx_ref, rvy_ref, rvz_ref, rdist_ref, tbl_ref,
+         rvx_ref, rvy_ref, rvz_ref, rdist_ref, rsteps_ref, tbl_ref,
          hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
          steps_ref, iters_ref, done_ref, dist_ref) = refs
     else:
@@ -175,6 +175,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
     vx0, vy0, vz0, _ = reinit(t_enter)
     zero = jnp.zeros(TILE, jnp.int32)
     dist0 = zero
+    steps0 = zero
     fresh0 = valid.astype(jnp.int32)
     done0 = (~valid).astype(jnp.int32)
     if resume:
@@ -192,6 +193,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
         vy0 = jnp.clip(rvy_ref[:], 0, Y - 1)
         vz0 = jnp.clip(rvz_ref[:], 0, Z - 1)
         dist0 = jnp.maximum(rd, 0)
+        steps0 = rsteps_ref[:]   # total-step continuity across rounds
         done0 = ((~valid) | dead).astype(jnp.int32)
         fresh0 = (valid & freshr & (~dead)).astype(jnp.int32)
     # flags ride the while_loop carry as int32 (i1 vector carries trip a
@@ -202,7 +204,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
         zero,                                            # hit
         jnp.full(TILE, BIG_T, jnp.float32),              # t_hit
         zero, zero,                                      # hit axis / sign
-        zero,                                            # steps
+        steps0,                                          # steps
         done0,                                           # done
         fresh0,                                          # fresh (entry fetch)
         jnp.int32(0),                                    # iter
@@ -404,15 +406,15 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     dims: tuple[int, int, int], max_steps: int,
                     t_max: jax.Array | None = None,
                     image_shape: tuple[int, int] | None = None,
-                    window: int = 16,
-                    block_shape: tuple[int, int] | None = None,
+                    window: int = 1024,
+                    block_shape: tuple[int, int] | None = (32, 32),
                     sublane_windows: bool = False,
-                    split_window: bool = False,
+                    split_window: bool = True,
                     stats: bool = False,
                     iter_budget: int | None = None,
                     resume_state: tuple | None = None,
                     extended: bool = False,
-                    unroll: int = 1,
+                    unroll: int = 2,
                     interpret: bool = False) -> HitRecord:
     """March rays o,d [N,3] through the Morton packed-accel world.
 
@@ -426,20 +428,36 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     (reshape/transpose), the kernel body is identical.
 
     Multi-round support (march_pallas_v2_sorted): iter_budget caps the
-    per-tile loop; extended=True additionally returns
+    per-tile loop (with unroll>1 the cap is only checked between unrolled
+    bodies, so a tile may run up to unroll-1 extra iterations — harmless
+    for correctness; it slightly inflates the iters_tile stall counters if
+    both knobs are combined); extended=True additionally returns
     {done [N] bool, dist [N] int32 (-2 = entry fetch still pending)};
     resume_state=(voxel [N,3] int32, dist [N] int32 with -1 dead / -2
-    fresh sentinels) restarts rays mid-flight — the march is memoryless
-    given (o, d, voxel, dist), so continuation is exact (parity-tested).
+    fresh sentinels[, steps [N] int32 prior-round step counts]) restarts
+    rays mid-flight — the march is memoryless given (o, d, voxel, dist),
+    so continuation is exact (parity-tested), and rec.steps continues from
+    the provided prior counts.
+
+    split_window=True (the benched default — tools/probe_pallas2_split_out
+    measured it 1.6x faster than one contiguous window at the flagship)
+    fetches TWO W/2 row segments instead of one W row; it silently degrades
+    to the contiguous path when the effective window is odd or smaller than
+    2 rows (identical semantics either way — every window variant is a
+    performance knob only, parity-locked in tests/test_pallas_v2.py).
+    sublane_windows takes precedence over split_window when both are set.
 
     Hit-equivalent to kernel_pallas / kernel_xla.march_xla_df / kernel_ref
-    (parity-tested). NOTE: a resumed ray's step counter restarts at 0, so
-    max_steps budgets each round separately (the hard iteration cap still
-    bounds termination).
+    (parity-tested). NOTE: a resumed ray's step counter restarts at its
+    resume_state steps value (0 when not provided), so rec.steps is the
+    TOTAL across rounds; max_steps only sizes the iteration cap (per-ray
+    termination is geometric: grid exit, t_max, or hit).
     """
     n = o.shape[0]
     rows = accel.rows
     window = min(window, rows)
+    if split_window and (window % 2 == 1 or window < 2):
+        split_window = False
     if t_max is None:
         t_max = jnp.full((n,), BIG_T, dtype=jnp.float32)
     resume = resume_state is not None
@@ -502,9 +520,13 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
              pack(d[:, 0], 0.0), pack(d[:, 1], 0.0), pack(d[:, 2], -1.0),
              pack(t_max, 0.0)]
     if resume:
-        rv, rdist = resume_state
+        if len(resume_state) == 3:
+            rv, rdist, rsteps = resume_state
+        else:
+            rv, rdist = resume_state
+            rsteps = jnp.zeros((n,), jnp.int32)
         chans += [pack(rv[:, 0], 0), pack(rv[:, 1], 0), pack(rv[:, 2], 0),
-                  pack(rdist, -1)]
+                  pack(rdist, -1), pack(rsteps, 0)]
 
     ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
@@ -612,9 +634,11 @@ def march_pallas_v2_sorted(o: jax.Array, d: jax.Array, accel: PackedMorton,
         tm2 = jnp.take(t_max, ids)
         v2 = jnp.take(v, ids, axis=0)
         dist2 = jnp.where(sel_alive, jnp.take(ext["dist"], ids), -1)
+        steps2 = jnp.where(sel_alive, jnp.take(rec.steps, ids), 0)
         rec1, ext1 = march_pallas_v2(
             o2, d2, accel, dims, max_steps, t_max=tm2, window=resume_window,
-            resume_state=(v2, dist2), extended=True, interpret=interpret)
+            resume_state=(v2, dist2, steps2), extended=True,
+            interpret=interpret)
         upd = sel_alive
         tgt = jnp.where(upd, ids, n)
 
@@ -626,7 +650,7 @@ def march_pallas_v2_sorted(o: jax.Array, d: jax.Array, accel: PackedMorton,
             t=scat(rec.t, rec1.t),
             voxel=scat(rec.voxel, rec1.voxel),
             normal=scat(rec.normal, rec1.normal),
-            steps=scat(rec.steps, jnp.take(rec.steps, ids) + rec1.steps),
+            steps=scat(rec.steps, rec1.steps),
         )
         ext = dict(done=scat(ext["done"], ext1["done"]),
                    dist=scat(ext["dist"], ext1["dist"]))
@@ -643,18 +667,33 @@ def march_pallas_v2_sorted(o: jax.Array, d: jax.Array, accel: PackedMorton,
 
 
 def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
-                         image_shape=None, window: int = 16,
-                         block_shape=None, sublane_windows: bool = False,
-                         unroll: int = 1,
+                         image_shape=None, window: int | None = None,
+                         block_shape=None, sublane_windows: bool | None = None,
+                         split_window: bool | None = None,
+                         unroll: int | None = None,
                          interpret: bool = False):
     """Pipeline march-factory (same shape as make_march_xla). ``accel`` must
-    be a PackedMorton (built from the grid if omitted)."""
+    be a PackedMorton (built from the grid if omitted). Tuning knobs left
+    as None come from ``settings.tuning`` (MarchTuning — the benched
+    configuration), so the plain factory call reproduces the headline."""
     if not isinstance(accel, PackedMorton):
         occ = occ_flat.reshape(dims)
         accel = build_packed_morton(occ)
     max_steps = settings.resolve_max_steps(dims)
+    tn = settings.tuning
+    if window is None:
+        window = tn.window
+    if unroll is None:
+        unroll = tn.unroll
+    if sublane_windows is None:
+        sublane_windows = tn.sublane_windows
+    if split_window is None:
+        split_window = tn.split_window
+    if block_shape is None and image_shape is not None:
+        block_shape = tn.block
     return functools.partial(march_pallas_v2, accel=accel, dims=dims,
                              max_steps=max_steps, image_shape=image_shape,
                              window=window, block_shape=block_shape,
-                             sublane_windows=sublane_windows, unroll=unroll,
+                             sublane_windows=sublane_windows,
+                             split_window=split_window, unroll=unroll,
                              interpret=interpret)

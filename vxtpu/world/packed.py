@@ -160,3 +160,40 @@ def build_packed_morton(occupancy: jax.Array, cap: int = 64) -> PackedMorton:
     mi = morton3(ii, jj, kk).reshape(-1)
     flat = jnp.zeros((S * S * S,), jnp.float32).at[mi].set(signed.reshape(-1))
     return PackedMorton(words=_pad_rows(flat))
+
+
+def build_material_morton(occupancy: jax.Array) -> jax.Array:
+    """Morton-order per-coarse-cell MATERIAL table for the fused in-kernel
+    shading epilogue (render/kernel_pallas_v2._shade_epilogue).
+
+    f32 [rows, 128]; word[cell] packs the 8 child material ids, 3 bits per
+    child at bit 3*child_index (same child indexing as the occupancy
+    table's child_bits). 8 x 3 = 24 bits -> the word is < 2^24 and thus
+    EXACTLY representable in float32 (NOT bfloat16 — the epilogue fetches
+    this table with an f32 one-hot matmul, which is fine because it runs
+    once per tile after the march, not once per step).
+
+    Material ids must be < 8 (the MATERIAL_RGB palette size — the
+    reference's voxel-id -> color mapping, SURVEY.md §4.3). Ids are
+    clipped to 7 defensively; palette-mode scenes (procgen) satisfy this
+    by construction.
+    """
+    X, Y, Z = occupancy.shape
+    assert X == Y == Z and (X & (X - 1)) == 0, (
+        "morton material table needs a cubic power-of-two grid")
+    cx, cy, cz = coarse_dims((X, Y, Z))
+    ids = jnp.minimum(occupancy.astype(jnp.int32), 7)
+    idsr = ids.reshape(cx, 2, cy, 2, cz, 2)
+    word = jnp.zeros((cx, cy, cz), jnp.int32)
+    for a in range(2):
+        for b in range(2):
+            for c in range(2):
+                ci = (a << 2) | (b << 1) | c
+                word = word | (idsr[:, a, :, b, :, c] << (3 * ci))
+    S = cx
+    ii, jj, kk = jnp.meshgrid(jnp.arange(S), jnp.arange(S), jnp.arange(S),
+                              indexing="ij")
+    mi = morton3(ii, jj, kk).reshape(-1)
+    flat = (jnp.zeros((S * S * S,), jnp.float32)
+            .at[mi].set(word.reshape(-1).astype(jnp.float32)))
+    return _pad_rows(flat)
