@@ -1,0 +1,85 @@
+"""Fused full-frame rendering on the flagship Pallas kernel: march AND
+shade inside the kernel (the reference's OpenCL kernel does the whole
+per-pixel pipeline in one dispatch — SURVEY.md §4.3; round 3's build paid
+~40 ms/frame of post-march XLA shading gathers instead, VERDICT r3 #3).
+
+Two compositions:
+
+  * no shadows: ONE kernel — march + in-kernel shade epilogue
+    (march_pallas_v2 with shade_spec).
+  * shadows (settings.shadows): primary march kernel -> one t_max-capped
+    shadow march kernel per light -> one fused shade kernel with the
+    visibility channels (shade_pallas_v2). Same shadow semantics as
+    render/pipeline.shadow_visibility (parity-tested).
+
+Palette-mode scenes only (per-voxel-RGB grids use render/pipeline's XLA
+shade path — see world/grid.Albedo).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vxtpu.camera.camera import Camera
+from vxtpu.camera.rays import generate_rays
+from vxtpu.render.kernel_pallas_v2 import (ShadeSpec, _SHADOW_EPS,
+                                           march_pallas_v2, pack_lights,
+                                           shade_pallas_v2)
+from vxtpu.render.settings import RenderSettings
+from vxtpu.world.lights import Lights
+
+
+def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
+                      settings: RenderSettings, image_shape=None,
+                      interpret: bool = False):
+    """Rays [N,3] -> (rgb [N,3], HitRecord), everything in-kernel."""
+    tn = settings.tuning
+    max_steps = settings.resolve_max_steps(dims)
+    lights_arr = pack_lights(lights)
+    kw = dict(image_shape=image_shape, window=tn.window,
+              block_shape=tn.block, split_window=tn.split_window,
+              sublane_windows=tn.sublane_windows, unroll=tn.unroll,
+              interpret=interpret)
+    shadowed = (settings.shadows and settings.shading != "flat"
+                and lights.count > 0)
+    if not shadowed:
+        spec = ShadeSpec.from_settings(settings, lights, use_vis=False)
+        rec, rgb = march_pallas_v2(o, d, accel, dims, max_steps,
+                                   shade_spec=spec, mats=mats,
+                                   lights_arr=lights_arr, **kw)
+        return rgb, rec
+
+    rec = march_pallas_v2(o, d, accel, dims, max_steps, **kw)
+    # hit point nudged off the surface along the face normal — identical
+    # to pipeline.shadow_visibility; miss rays shoot a degenerate t_max=0
+    # ray from the origin (their visibility is never used: vis is ANDed
+    # with rec.hit below, exactly like the XLA path)
+    p = o + rec.t[..., None] * d + rec.normal * _SHADOW_EPS
+    p = jnp.where(rec.hit[..., None], p, 0.0)
+    vis_cols = []
+    for li in range(lights.count):
+        lvec = lights.pos[li][None, :] - p
+        dist = jnp.linalg.norm(lvec, axis=-1)
+        ldir = lvec / jnp.maximum(dist, 1e-12)[..., None]
+        tm = jnp.where(rec.hit, dist - 2.0 * _SHADOW_EPS, 0.0)
+        srec = march_pallas_v2(p, ldir, accel, dims, max_steps,
+                               t_max=tm, **kw)
+        vis_cols.append(jnp.where(srec.hit & rec.hit, 0.0, 1.0))
+    vis = jnp.stack(vis_cols, axis=-1)
+    spec = ShadeSpec.from_settings(settings, lights, use_vis=True)
+    rgb = shade_pallas_v2(rec, o, d, vis, mats, lights_arr, spec,
+                          image_shape=image_shape, block_shape=tn.block,
+                          interpret=interpret)
+    return rgb, rec
+
+
+def render_frame_fused(accel, mats, dims, cam: Camera, lights: Lights,
+                       settings: RenderSettings, height: int, width: int,
+                       interpret: bool = False) -> jax.Array:
+    """Full frame [H, W, 3] through the fused kernel path."""
+    o, d = generate_rays(cam, height, width)
+    rgb, _ = render_rays_fused(o, d, accel, mats, dims, lights, settings,
+                               image_shape=(height, width),
+                               interpret=interpret)
+    return rgb.reshape(height, width, 3)

@@ -33,6 +33,7 @@ that exercise heavy stalling.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -63,7 +64,7 @@ def _morton3(x, y, z):
     return _part1by2(x) | (_part1by2(y) << 1) | (_part1by2(z) << 2)
 
 
-def _lookup_window(win, row_rel, lane, W):
+def _lookup_window(win, row_rel, lane, W, dtype=jnp.bfloat16):
     """win [W,128] f32, row_rel/lane int32 [8,128] -> f32 win[row_rel, lane].
 
     Same MXU one-hot gather as v1's _lookup, restricted to the window, but
@@ -74,6 +75,10 @@ def _lookup_window(win, row_rel, lane, W):
     G = rowOH_all @ win selects each ray's window row, then a lane-one-hot
     reduce picks the lane. Out-of-window rows must be pre-clamped by the
     caller (their results are masked out).
+
+    dtype=jnp.float32 keeps the matmul in f32 — required for tables whose
+    words exceed bf16's 8-bit-exact integer range (the 24-bit material
+    table, world/packed.build_material_morton).
     """
     # ONE transpose of the packed (row<<7|lane) index instead of two: the
     # transpose relayout is part of the measured fixed fetch overhead
@@ -84,12 +89,12 @@ def _lookup_window(win, row_rel, lane, W):
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     rowoh_all = jnp.concatenate(
-        [(iota_w == rt[:, c:c + 1]).astype(jnp.bfloat16) for c in range(8)],
-        axis=0)                                   # [1024, W] bf16
+        [(iota_w == rt[:, c:c + 1]).astype(dtype) for c in range(8)],
+        axis=0)                                   # [1024, W]
     # win's signed encoding is bf16-exact (|values| <= 255); casting the
     # window (not the stored table: Mosaic's dynamic sublane slice needs
     # f32 tiling) runs the fetch at the MXU's bf16 rate
-    g_all = jnp.dot(rowoh_all, win.astype(jnp.bfloat16),
+    g_all = jnp.dot(rowoh_all, win.astype(dtype),
                     preferred_element_type=jnp.float32)
     cols = []
     for c in range(8):
@@ -109,19 +114,227 @@ def _childbit(cb, vx, vy, vz):
     return bit
 
 
+@dataclasses.dataclass(frozen=True)
+class ShadeSpec:
+    """Static configuration for IN-KERNEL shading (the fused epilogue).
+
+    The reference shades inside its OpenCL kernel (SURVEY.md §4.3: normal
+    from step mask, diffuse+specular per light, fog mix, sky on miss);
+    round 3's TPU build shaded in post-march XLA instead, which cost ~40 ms
+    of per-ray gathers at the flagship (VERDICT r3 missing #3). The fused
+    epilogue runs the whole shade as VPU math on the march tile while it is
+    still in VMEM; the only memory traffic is ONE windowed material-table
+    fetch per tile (vs one XLA gather per ray).
+
+    Field semantics mirror render/settings.RenderSettings (values are
+    copied from it by ``ShadeSpec.from_settings``); palette is the
+    world.grid.MATERIAL_RGB table as a static tuple (palette-mode scenes
+    only — per-voxel-RGB grids take the XLA shade path).
+    """
+
+    mode: str = "lambert"            # 'flat' | 'lambert' | 'full'
+    fog: bool = False
+    n_lights: int = 1
+    use_vis: bool = False            # shadow-visibility input channels
+    ambient: float = 0.15
+    specular_exp: float = 32.0
+    specular_k: float = 0.35
+    fog_density: float = 0.004
+    sky_top: tuple = (0.35, 0.55, 0.85)
+    sky_horizon: tuple = (0.80, 0.88, 0.95)
+    palette: tuple = ()
+    mat_window: int = 1024
+
+    @staticmethod
+    def from_settings(settings, lights, use_vis: bool = False,
+                      palette=None) -> "ShadeSpec":
+        if palette is None:
+            from vxtpu.world.grid import MATERIAL_RGB
+
+            palette = MATERIAL_RGB
+        pal = tuple(tuple(float(c) for c in row) for row in
+                    jax.device_get(palette))
+        assert len(pal) <= 8, "fused shading supports <=8 palette entries"
+        pal = pal + ((0.0, 0.0, 0.0),) * (8 - len(pal))
+        return ShadeSpec(
+            mode=settings.shading if settings.shading in
+            ("flat", "lambert", "full") else "lambert",
+            fog=settings.fog, n_lights=lights.count, use_vis=use_vis,
+            ambient=settings.ambient, specular_exp=settings.specular_exp,
+            specular_k=settings.specular_k,
+            fog_density=settings.fog_density,
+            sky_top=tuple(settings.sky_top),
+            sky_horizon=tuple(settings.sky_horizon), palette=pal,
+            mat_window=settings.tuning.window)
+
+
+def pack_lights(lights) -> jax.Array:
+    """Lights -> (8, 8) f32 SMEM payload for the fused epilogue: row l =
+    [pos.x, pos.y, pos.z, r, g, b, intensity, 0]. Padded rows are zero
+    (n_lights is static, so they are never read)."""
+    arr = jnp.zeros((8, 8), jnp.float32)
+    if lights.count:
+        arr = arr.at[:lights.count, 0:3].set(lights.pos)
+        arr = arr.at[:lights.count, 3:6].set(lights.rgb)
+        arr = arr.at[:lights.count, 6].set(lights.intensity)
+    return arr
+
+
+_SHADOW_EPS = 1e-3  # matches render/shade._SHADOW_EPS (parity-tested)
+
+
+def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, lights_ref, vis,
+                    ox, oy, oz, dx, dy, dz, hit, t_hit, vx, vy, vz,
+                    rax, rsg):
+    """Tile-resident shading: [8,128] march state -> (r, g, b) [8,128] f32.
+
+    Matches render/shade.shade (palette-mode, no atlas) to fp tolerance —
+    parity-locked in tests/test_fused_shade.py. The material fetch is a
+    windowed one-hot loop like the march fetch, but runs ~1-3 iterations
+    per tile total (a tile's hit cells are a compact surface patch in
+    Morton space), not once per step.
+    """
+    hitb = hit == 1
+    zero = jnp.zeros(TILE, jnp.int32)
+    Wm = min(spec.mat_window, rows)
+
+    # ---- material word fetch (f32 one-hot: 24-bit words)
+    widx = _morton3(vx >> 1, vy >> 1, vz >> 1)
+    row = widx >> 7
+    lane = widx & 127
+
+    def mcond(s):
+        got, _, it = s
+        pend = jnp.where(hitb, 1 - got, 0)
+        return (it < jnp.int32(TILE_RAYS)) & (jnp.max(pend) > 0)
+
+    def mbody(s):
+        got, mw, it = s
+        pend = hitb & (got == 0)
+        base = jnp.min(jnp.where(pend, row, rows - 1))
+        base = jnp.maximum(jnp.minimum(base, rows - Wm), 0)
+        rel = row - base
+        inw = (rel >= 0) & (rel < Wm)
+        win = mat_ref[pl.ds(base, Wm), :]
+        wv = _lookup_window(win, jnp.clip(rel, 0, Wm - 1), lane, Wm,
+                            dtype=jnp.float32)
+        take = pend & inw
+        mw = jnp.where(take, wv.astype(jnp.int32), mw)
+        return got | take.astype(jnp.int32), mw, it + 1
+
+    _, mat_word, _ = jax.lax.while_loop(
+        mcond, mbody, (zero, zero, jnp.int32(0)))
+
+    # ---- albedo: 3-bit child id -> palette select chain
+    ci = ((vx & 1) << 2) | ((vy & 1) << 1) | (vz & 1)
+    mid = zero
+    for k in range(8):
+        mid = jnp.where(ci == k, (mat_word >> (3 * k)) & 7, mid)
+    pr = jnp.zeros(TILE, jnp.float32)
+    pg = jnp.zeros(TILE, jnp.float32)
+    pb = jnp.zeros(TILE, jnp.float32)
+    for k, (cr, cg, cb_) in enumerate(spec.palette):
+        selk = mid == k
+        pr = jnp.where(selk, cr, pr)
+        pg = jnp.where(selk, cg, pg)
+        pb = jnp.where(selk, cb_, pb)
+
+    # ---- face normal from the DDA step mask (shade.py semantics: zero
+    # on miss)
+    sgf = rsg.astype(jnp.float32)
+    nx = jnp.where(hitb & (rax == 0), -sgf, 0.0)
+    ny = jnp.where(hitb & (rax == 1), -sgf, 0.0)
+    nz = jnp.where(hitb & (rax == 2), -sgf, 0.0)
+
+    t_s = jnp.where(hitb, t_hit, 0.0)   # keep miss-lane math finite
+    if spec.mode == "flat":
+        w = 0.80 * jnp.abs(nx) + 0.68 * jnp.abs(ny) + 1.00 * jnp.abs(nz)
+        w = jnp.where(nz < -0.5, 0.45, w)
+        ar, ag, ab = pr * w, pg * w, pb * w
+    else:
+        px = ox + t_s * dx + nx * _SHADOW_EPS
+        py = oy + t_s * dy + ny * _SHADOW_EPS
+        pz = oz + t_s * dz + nz * _SHADOW_EPS
+        ar = pr * spec.ambient
+        ag = pg * spec.ambient
+        ab = pb * spec.ambient
+        for li in range(spec.n_lights):
+            lpx = lights_ref[li, 0]
+            lpy = lights_ref[li, 1]
+            lpz = lights_ref[li, 2]
+            lr = lights_ref[li, 3]
+            lg = lights_ref[li, 4]
+            lb = lights_ref[li, 5]
+            lint = lights_ref[li, 6]
+            lvx = lpx - px
+            lvy = lpy - py
+            lvz = lpz - pz
+            dist2 = lvx * lvx + lvy * lvy + lvz * lvz
+            rinv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-12))
+            ldx = lvx * rinv
+            ldy = lvy * rinv
+            ldz = lvz * rinv
+            ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+            atten = lint / (1.0 + 0.002 * dist2)
+            v = vis[li] if vis is not None else 1.0
+            diff = ndotl * atten * v
+            ar = ar + pr * diff * lr
+            ag = ag + pg * diff * lg
+            ab = ab + pb * diff * lb
+            if spec.mode == "full":
+                hx = ldx - dx
+                hy = ldy - dy
+                hz = ldz - dz
+                hn = jax.lax.rsqrt(
+                    jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-12))
+                ndoth = jnp.maximum(
+                    (nx * hx + ny * hy + nz * hz) * hn, 0.0)
+                sp = (spec.specular_k * (ndoth ** spec.specular_exp)
+                      * (ndotl > 0.0) * atten * v)
+                ar = ar + sp * lr
+                ag = ag + sp * lg
+                ab = ab + sp * lb
+
+    # ---- sky gradient (shade.sky_color) + fog (shade.apply_fog)
+    u = jnp.clip(dz * 0.5 + 0.5, 0.0, 1.0)
+    skr = spec.sky_horizon[0] * (1.0 - u) + spec.sky_top[0] * u
+    skg = spec.sky_horizon[1] * (1.0 - u) + spec.sky_top[1] * u
+    skb = spec.sky_horizon[2] * (1.0 - u) + spec.sky_top[2] * u
+    if spec.fog:
+        fog_f = jnp.where(hitb,
+                          1.0 - jnp.exp(-spec.fog_density * t_s), 0.0)
+        ar = ar * (1.0 - fog_f) + skr * fog_f
+        ag = ag * (1.0 - fog_f) + skg * fog_f
+        ab = ab * (1.0 - fog_f) + skb * fog_f
+    out_r = jnp.clip(jnp.where(hitb, ar, skr), 0.0, 1.0)
+    out_g = jnp.clip(jnp.where(hitb, ag, skg), 0.0, 1.0)
+    out_b = jnp.clip(jnp.where(hitb, ab, skb), 0.0, 1.0)
+    return out_r, out_g, out_b
+
+
 def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                   split_window=False, resume=False, iter_budget=None,
-                  unroll=1):
+                  unroll=1, shade_spec=None):
+    refs = list(refs)
     if resume:
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-         rvx_ref, rvy_ref, rvz_ref, rdist_ref, rsteps_ref, tbl_ref,
-         hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
-         steps_ref, iters_ref, done_ref, dist_ref) = refs
+         rvx_ref, rvy_ref, rvz_ref, rdist_ref, rsteps_ref, tbl_ref) = \
+            refs[:13]
+        refs = refs[13:]
     else:
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-         tbl_ref,
-         hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
-         steps_ref, iters_ref, done_ref, dist_ref) = refs
+         tbl_ref) = refs[:8]
+        refs = refs[8:]
+    if shade_spec is not None:
+        mat_ref, lights_ref = refs[:2]
+        refs = refs[2:]
+    (hit_ref, t_ref, vx_ref, vy_ref, vz_ref, ax_ref, sg_ref,
+     steps_ref, iters_ref, done_ref, dist_ref) = refs[:11]
+    refs = refs[11:]
+    if shade_spec is not None:
+        r_ref, g_ref, b_ref = refs
+    else:
+        assert not refs
     X, Y, Z = dims
     rows = tbl_ref.shape[0]
     W = window
@@ -401,6 +614,71 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
     # model: iters - max(steps in tile) = serialization cost of windowing)
     iters_ref[:] = jnp.full(TILE, 1, jnp.int32) * it
 
+    if shade_spec is not None:
+        r, g, b = _shade_epilogue(
+            shade_spec, tbl_ref.shape[0], mat_ref, lights_ref, None,
+            ox, oy, oz, dx, dy, dz, hit, t_hit, vx, vy, vz, rax, rsg)
+        r_ref[:] = r
+        g_ref[:] = g
+        b_ref[:] = b
+
+
+def _tile_layout(n, image_shape, block_shape):
+    """(pack, unpack, raw_shape, grid) for the [8,128] kernel tiling.
+
+    Three layouts (all parity-locked as layout-only knobs):
+      * image_shape + block_shape: bh x bw image blocks permuted so each
+        kernel tile is a square-ish spatially-coherent patch (the flagship
+        configuration — narrow Morton windows);
+      * image_shape only: 8 x 128 image strips;
+      * neither: scanline runs with flat padding.
+    """
+    if (block_shape is not None and image_shape is not None
+            and image_shape[0] * image_shape[1] == n):
+        bh, bw = block_shape
+        assert bh * bw == TILE_RAYS, (bh, bw)
+        H, W_img = image_shape
+        pad_h = (-H) % bh
+        pad_w = (-W_img) % bw
+        Hp, Wp = H + pad_h, W_img + pad_w
+        gh, gw = Hp // bh, Wp // bw
+        nt = gh * gw
+
+        def pack(x, fill):
+            img = jnp.pad(x.reshape(H, W_img), ((0, pad_h), (0, pad_w)),
+                          constant_values=fill)
+            blk = img.reshape(gh, bh, gw, bw).transpose(0, 2, 1, 3)
+            return blk.reshape(nt * TILE[0], TILE[1])
+
+        def unpack(x):
+            img = x.reshape(gh, gw, bh, bw).transpose(0, 2, 1, 3)
+            return img.reshape(Hp, Wp)[:H, :W_img].reshape(-1)
+
+        return pack, unpack, (nt * TILE[0], TILE[1]), (nt, 1)
+    if image_shape is not None and image_shape[0] * image_shape[1] == n:
+        H, W_img = image_shape
+        pad_h = (-H) % TILE[0]
+        pad_w = (-W_img) % TILE[1]
+        Hp, Wp = H + pad_h, W_img + pad_w
+
+        def pack(x, fill):
+            img = x.reshape(H, W_img)
+            return jnp.pad(img, ((0, pad_h), (0, pad_w)),
+                           constant_values=fill)
+
+        unpack = lambda x: x[:H, :W_img].reshape(-1)
+        return pack, unpack, (Hp, Wp), (Hp // TILE[0], Wp // TILE[1])
+    pad = (-n) % TILE_RAYS
+    nt = (n + pad) // TILE_RAYS
+
+    def pack(x, fill):
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(nt * TILE[0], TILE[1])
+
+    unpack = lambda x: x.reshape(-1)[:n]
+    return pack, unpack, (nt * TILE[0], TILE[1]), (nt, 1)
+
 
 def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     dims: tuple[int, int, int], max_steps: int,
@@ -415,6 +693,9 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     resume_state: tuple | None = None,
                     extended: bool = False,
                     unroll: int = 2,
+                    shade_spec: ShadeSpec | None = None,
+                    mats: jax.Array | None = None,
+                    lights_arr: jax.Array | None = None,
                     interpret: bool = False) -> HitRecord:
     """March rays o,d [N,3] through the Morton packed-accel world.
 
@@ -439,6 +720,13 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     so continuation is exact (parity-tested), and rec.steps continues from
     the provided prior counts.
 
+    FUSED SHADING: shade_spec (a ShadeSpec) + mats (the f32 Morton
+    material table, world/packed.build_material_morton) + lights_arr
+    (pack_lights) run the full shade — palette albedo, face-normal
+    lighting, fog, sky — as an in-kernel epilogue on the still-VMEM-
+    resident tile; the return becomes (HitRecord, rgb [N,3]). Matches
+    render/shade.shade to fp tolerance (tests/test_fused_shade.py).
+
     split_window=True (the benched default — tools/probe_pallas2_split_out
     measured it 1.6x faster than one contiguous window at the flagship)
     fetches TWO W/2 row segments instead of one W row; it silently degrades
@@ -462,56 +750,8 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
         t_max = jnp.full((n,), BIG_T, dtype=jnp.float32)
     resume = resume_state is not None
 
-    if (block_shape is not None and image_shape is not None
-            and image_shape[0] * image_shape[1] == n):
-        bh, bw = block_shape
-        assert bh * bw == TILE_RAYS, (bh, bw)
-        H, W_img = image_shape
-        pad_h = (-H) % bh
-        pad_w = (-W_img) % bw
-        Hp, Wp = H + pad_h, W_img + pad_w
-        gh, gw = Hp // bh, Wp // bw
-        nt = gh * gw
-
-        def pack(x, fill):
-            img = jnp.pad(x.reshape(H, W_img), ((0, pad_h), (0, pad_w)),
-                          constant_values=fill)
-            blk = img.reshape(gh, bh, gw, bw).transpose(0, 2, 1, 3)
-            return blk.reshape(nt * TILE[0], TILE[1])
-
-        def unpack(x):
-            img = x.reshape(gh, gw, bh, bw).transpose(0, 2, 1, 3)
-            return img.reshape(Hp, Wp)[:H, :W_img].reshape(-1)
-
-        raw_shape = (nt * TILE[0], TILE[1])
-        grid = (nt, 1)
-    elif image_shape is not None and image_shape[0] * image_shape[1] == n:
-        H, W_img = image_shape
-        pad_h = (-H) % TILE[0]
-        pad_w = (-W_img) % TILE[1]
-        Hp, Wp = H + pad_h, W_img + pad_w
-
-        def pack(x, fill):
-            img = x.reshape(H, W_img)
-            return jnp.pad(img, ((0, pad_h), (0, pad_w)),
-                           constant_values=fill)
-
-        unpack = lambda x: x[:H, :W_img].reshape(-1)
-        raw_shape = (Hp, Wp)
-        grid = (Hp // TILE[0], Wp // TILE[1])
-    else:
-        pad = (-n) % TILE_RAYS
-        nt = (n + pad) // TILE_RAYS
-
-        def pack(x, fill):
-            if pad:
-                x = jnp.concatenate(
-                    [x, jnp.full((pad,), fill, x.dtype)])
-            return x.reshape(nt * TILE[0], TILE[1])
-
-        unpack = lambda x: x.reshape(-1)[:n]
-        raw_shape = (nt * TILE[0], TILE[1])
-        grid = (nt, 1)
+    pack, unpack, raw_shape, grid = _tile_layout(n, image_shape,
+                                                 block_shape)
 
     # padding rays point away from the grid -> immediate miss; padded
     # resume slots carry the dead sentinel
@@ -530,9 +770,13 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
 
     ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
-    out_dtypes = (jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32,
+    out_dtypes = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32,
                   jnp.int32, jnp.int32, jnp.int32, jnp.int32, jnp.int32,
-                  jnp.int32)
+                  jnp.int32]
+    fused = shade_spec is not None
+    if fused:
+        assert mats is not None and lights_arr is not None
+        out_dtypes += [jnp.float32] * 3
     out_shape = [jax.ShapeDtypeStruct(raw_shape, t) for t in out_dtypes]
     tbl_spec = pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -540,19 +784,28 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                              window=window, sublane_windows=sublane_windows,
                              split_window=split_window,
                              resume=resume, iter_budget=iter_budget,
-                             unroll=unroll)
+                             unroll=unroll, shade_spec=shade_spec)
     table_bytes = rows * 128 * accel.words.dtype.itemsize
+    in_specs = [ray_spec] * len(chans) + [tbl_spec]
+    inputs = list(chans) + [accel.words]
+    if fused:
+        table_bytes *= 2   # the material table is VMEM-resident too
+        in_specs += [pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((8, 8), lambda i, j: (0, 0),
+                                  memory_space=pltpu.SMEM)]
+        inputs += [mats, lights_arr]
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[ray_spec] * len(chans) + [tbl_spec],
+        in_specs=in_specs,
         out_specs=[ray_spec] * len(out_shape),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(table_bytes + 16 * 1024 * 1024,
                                  127 * 1024 * 1024)),
         interpret=interpret,
-    )(*chans, accel.words)
+    )(*inputs)
 
     hit, t, vx, vy, vz, ax, sg, steps = [unpack(x) for x in outs[:8]]
     voxel = jnp.stack([vx, vy, vz], axis=-1)
@@ -562,6 +815,8 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     rec = HitRecord(hit=hit > 0, t=t, voxel=voxel, normal=normal,
                     steps=steps)
     ret = [rec]
+    if fused:
+        ret.append(jnp.stack([unpack(x) for x in outs[11:14]], axis=-1))
     if extended:
         ret.append(dict(done=unpack(outs[9]) > 0, dist=unpack(outs[10])))
     if stats:
@@ -697,3 +952,69 @@ def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
                              sublane_windows=sublane_windows,
                              split_window=split_window, unroll=unroll,
                              interpret=interpret)
+
+
+def _shade_only_kernel(*refs, spec: ShadeSpec):
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, t_ref, hit_ref,
+     vx_ref, vy_ref, vz_ref, ax_ref, sg_ref) = refs[:13]
+    refs = refs[13:]
+    nvis = spec.n_lights if spec.use_vis else 0
+    vis = [refs[i][:] for i in range(nvis)] or None
+    mat_ref, lights_ref, r_ref, g_ref, b_ref = refs[nvis:]
+    r, g, b = _shade_epilogue(
+        spec, mat_ref.shape[0], mat_ref, lights_ref, vis,
+        ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
+        hit_ref[:], t_ref[:], vx_ref[:], vy_ref[:], vz_ref[:],
+        ax_ref[:], sg_ref[:])
+    r_ref[:] = r
+    g_ref[:] = g
+    b_ref[:] = b
+
+
+def shade_pallas_v2(rec: HitRecord, o, d, vis, mats, lights_arr,
+                    spec: ShadeSpec,
+                    image_shape=None, block_shape=(32, 32),
+                    interpret: bool = False) -> jax.Array:
+    """Standalone fused-shade pass: HitRecord [N] (+ per-light shadow
+    visibility [N, L]) -> rgb [N, 3].
+
+    Used by the shadowed pipeline (render/fused.render_frame_fused), where
+    shading must wait for the shadow marches and therefore cannot ride the
+    primary march's epilogue. Identical math to the in-march epilogue.
+    """
+    n = o.shape[0]
+    pack, unpack, raw_shape, grid = _tile_layout(n, image_shape,
+                                                 block_shape)
+    # reconstruct the DDA step axis/sign from the face normal (exactly one
+    # nonzero component, = -sign of the step; zero on miss)
+    nrm = rec.normal
+    ax = jnp.argmax(jnp.abs(nrm), axis=-1).astype(jnp.int32)
+    sg = -jnp.sum(nrm, axis=-1).astype(jnp.int32)
+    chans = [pack(o[:, 0], 0.0), pack(o[:, 1], 0.0), pack(o[:, 2], 0.0),
+             pack(d[:, 0], 0.0), pack(d[:, 1], 0.0), pack(d[:, 2], -1.0),
+             pack(rec.t, 0.0), pack(rec.hit.astype(jnp.int32), 0),
+             pack(rec.voxel[:, 0], 0), pack(rec.voxel[:, 1], 0),
+             pack(rec.voxel[:, 2], 0), pack(ax, 0), pack(sg, 0)]
+    if spec.use_vis:
+        assert vis is not None and vis.shape[1] == spec.n_lights
+        chans += [pack(vis[:, li], 1.0) for li in range(spec.n_lights)]
+    rows = mats.shape[0]
+    ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    in_specs = ([ray_spec] * len(chans)
+                + [pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, 8), lambda i, j: (0, 0),
+                                memory_space=pltpu.SMEM)])
+    outs = pl.pallas_call(
+        functools.partial(_shade_only_kernel, spec=spec),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[ray_spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct(raw_shape, jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(rows * 128 * 4 + 16 * 1024 * 1024,
+                                 127 * 1024 * 1024)),
+        interpret=interpret,
+    )(*chans, mats, lights_arr)
+    return jnp.stack([unpack(x) for x in outs], axis=-1)
