@@ -298,3 +298,72 @@ def test_pallas_v2_sorted_steps_continuity():
         block_shape=(32, 32), round0_iters=6, survivor_frac=8,
         resume_window=8, interpret=True)
     assert (np.array(a.steps) == np.array(b.steps)).all()
+
+
+@pytest.mark.parametrize("scene_name", ["terrain"])
+def test_pallas_v2_local_advance_invariance(scene_name):
+    """local_advance (same-coarse-cell steps resolved from the cb carry,
+    no fetch, no window constraint) is a performance knob, never a
+    semantics knob — including under tiny windows where it changes which
+    rays constrain the window base."""
+    grid = scenes()[scene_name]
+    accel = build_packed_morton(grid.occupancy)
+    for cam in cameras().values():
+        o, d = generate_rays(cam, 32, 32)
+        for window in (4, 32):
+            a = march_pallas_v2(o, d, accel, DIMS, 128,
+                                image_shape=(32, 32), window=window,
+                                local_advance=False, interpret=True)
+            b = march_pallas_v2(o, d, accel, DIMS, 128,
+                                image_shape=(32, 32), window=window,
+                                local_advance=True, interpret=True)
+            assert (np.array(a.hit) == np.array(b.hit)).all()
+            h = np.array(a.hit)
+            np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h],
+                                       rtol=1e-6)
+            assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()
+            assert (np.array(a.normal)[h] == np.array(b.normal)[h]).all()
+            assert (np.array(a.steps) == np.array(b.steps)).all()
+
+
+def test_pallas_v2_local_advance_resume_parity():
+    """A resumed ray's cb carry is unknown until its first fetch (cbok=0):
+    the multi-round driver must stay exact with local_advance on."""
+    from vxtpu.render.kernel_pallas_v2 import march_pallas_v2_sorted
+
+    grid = scenes()["terrain"]
+    accel = build_packed_morton(grid.occupancy)
+    cam = cameras()["inside"]
+    o, d = generate_rays(cam, 64, 64)
+    a = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(64, 64),
+                        window=16, block_shape=(32, 32), interpret=True)
+    b = march_pallas_v2_sorted(
+        o, d, accel, DIMS, 128, image_shape=(64, 64), window=16,
+        block_shape=(32, 32), round0_iters=4, survivor_frac=4,
+        resume_window=8, interpret=True)
+    assert (np.array(a.hit) == np.array(b.hit)).all()
+    h = np.array(a.hit)
+    np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h],
+                               rtol=1e-6)
+
+
+@pytest.mark.parametrize("window", [2, 8, 64])
+def test_pallas_v2_split_matmul2_invariance(window):
+    """split_matmul2 (two per-segment MXU products instead of the window
+    concat) is bit-identical to the concat split path."""
+    grid = _bimodal_scene()
+    accel = build_packed_morton(grid.occupancy)
+    cam = Camera.make(pos=(-14.0, -10.0, 40.0)).look_at((16.0, 16.0, 16.0))
+    o, d = generate_rays(cam, 32, 32)
+    a = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(32, 32),
+                        window=window, split_window=True,
+                        split_matmul2=False, interpret=True)
+    b = march_pallas_v2(o, d, accel, DIMS, 128, image_shape=(32, 32),
+                        window=window, split_window=True,
+                        split_matmul2=True, interpret=True)
+    assert (np.array(a.hit) == np.array(b.hit)).all()
+    h = np.array(a.hit)
+    np.testing.assert_allclose(np.array(a.t)[h], np.array(b.t)[h],
+                               rtol=1e-6)
+    assert (np.array(a.voxel)[h] == np.array(b.voxel)[h]).all()
+    assert (np.array(a.steps) == np.array(b.steps)).all()

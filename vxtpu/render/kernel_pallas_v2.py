@@ -105,6 +105,43 @@ def _lookup_window(win, row_rel, lane, W, dtype=jnp.bfloat16):
     return jnp.transpose(jnp.concatenate(cols, axis=1))  # [8,128] f32
 
 
+def _lookup_window_split(win1, win2, rel, cov1, lane, Wh,
+                         dtype=jnp.bfloat16):
+    """Two-segment variant of _lookup_window WITHOUT the [W,128] concat
+    copy: each ray one-hots against its own Wh-row segment (zeros against
+    the other) and the two MXU products are summed — same FLOPs as the
+    concat path, no per-iteration window materialization.
+
+    rel: row index RELATIVE to the covering segment's base (pre-clipped to
+    [0, Wh)); cov1: True where segment 1 covers the ray. Rays covered by
+    neither segment get an all-zero one-hot row in both products (callers
+    mask them via in_win anyway).
+    """
+    packed = (jnp.where(cov1, (1 << 27), 0) | (rel << 7) | lane)
+    wt = jnp.transpose(packed)                    # [128, 8] one transpose
+    c1t = wt >> 27
+    rt = (wt >> 7) & 0xFFFFF
+    lt = wt & 127
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, Wh), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    oh1 = jnp.concatenate(
+        [((iota_w == rt[:, c:c + 1]) & (c1t[:, c:c + 1] == 1)).astype(dtype)
+         for c in range(8)], axis=0)              # [1024, Wh]
+    oh2 = jnp.concatenate(
+        [((iota_w == rt[:, c:c + 1]) & (c1t[:, c:c + 1] == 0)).astype(dtype)
+         for c in range(8)], axis=0)
+    g_all = (jnp.dot(oh1, win1.astype(dtype),
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(oh2, win2.astype(dtype),
+                       preferred_element_type=jnp.float32))
+    cols = []
+    for c in range(8):
+        laneoh = (iota_l == lt[:, c:c + 1]).astype(jnp.float32)
+        g = g_all[c * 128:(c + 1) * 128]
+        cols.append(jnp.sum(g * laneoh, axis=1, keepdims=True))
+    return jnp.transpose(jnp.concatenate(cols, axis=1))  # [8,128] f32
+
+
 def _childbit(cb, vx, vy, vz):
     """Bit of the 8-bit child mask for fine voxel (vx,vy,vz) in its cell."""
     ci = ((vx & 1) << 2) | ((vy & 1) << 1) | (vz & 1)
@@ -313,7 +350,8 @@ def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, lights_ref, vis,
 
 
 def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
-                  split_window=False, resume=False, iter_budget=None,
+                  split_window=False, split_matmul2=False,
+                  local_advance=True, resume=False, iter_budget=None,
                   unroll=1, shade_spec=None):
     refs = list(refs)
     if resume:
@@ -411,6 +449,10 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
         fresh0 = (valid & freshr & (~dead)).astype(jnp.int32)
     # flags ride the while_loop carry as int32 (i1 vector carries trip a
     # Mosaic "unsupported target bitwidth" on this toolchain)
+    # cbok: the cb carry holds the CURRENT cell's child bits (resume-round
+    # rays start with an unknown cb -> 0 until their first fetch; fresh
+    # rays are excluded from the local-advance path anyway)
+    cbok0 = zero if resume else jnp.ones(TILE, jnp.int32)
     state = (
         vx0, vy0, vz0,                                   # current voxel
         zero, dist0,                                     # cb, dist
@@ -420,6 +462,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
         steps0,                                          # steps
         done0,                                           # done
         fresh0,                                          # fresh (entry fetch)
+        cbok0,                                           # cb valid
         jnp.int32(0),                                    # iter
     )
     # stalls consume iterations without consuming step budget; every
@@ -432,12 +475,12 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
         iter_cap = jnp.int32(min(iter_budget, max_steps * 8 + TILE_RAYS))
 
     def cond(s):
-        done, it = s[10], s[12]
+        done, it = s[10], s[13]
         return (it < iter_cap) & (jnp.min(done) == 0)
 
     def body(s):
         (vx, vy, vz, cb, dist, hit, t_hit, rax, rsg, steps, done, fresh,
-         it) = s
+         cbok, it) = s
         active = done == 0
         freshb = fresh == 1
 
@@ -497,6 +540,27 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
         terminate = active & ((~inside) | past_end)      # no fetch needed
         need = active & inside & (~past_end)
 
+        # --- local same-cell advance: the target voxel lies in the SAME
+        # 2x2x2 coarse cell whose child bits the cb carry already holds
+        # (dist==0 <-> the last fetched word was an occupied cell). These
+        # rays resolve their step from registers — no fetch, and no
+        # window-coverage requirement, so they advance EVERY iteration,
+        # relieving Morton-window stall pressure for free (VERDICT r3
+        # next-#2). Exactly the word a fetch would return, so semantics
+        # are unchanged (parity-locked incl. tiny windows + resume).
+        if local_advance:
+            same_cell = (((nvx >> 1) == (vx >> 1))
+                         & ((nvy >> 1) == (vy >> 1))
+                         & ((nvz >> 1) == (vz >> 1)))
+            adv_local = (need & (~freshb) & (cbok == 1) & (dist == 0)
+                         & same_cell)
+            solid_local = _childbit(cb, nvx, nvy, nvz) == 1
+            need_f = need & (~adv_local)
+        else:
+            adv_local = jnp.zeros_like(need)
+            solid_local = adv_local
+            need_f = need
+
         # --- Morton-windowed fetch
         widx = _morton3(nvx >> 1, nvy >> 1, nvz >> 1)
         row = widx >> 7
@@ -505,7 +569,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
             # 8 independent windows, one per 128-ray sub-row: each sub-
             # cluster is spatially tighter than the whole tile, so W can be
             # ~8x smaller — the one-hot build and matmul shrink with it.
-            row_m = jnp.where(need, row, rows - 1)
+            row_m = jnp.where(need_f, row, rows - 1)
             rmt = jnp.transpose(row_m)                # [128, 8]
             rt = jnp.transpose(row)                   # [128, 8]
             lt = jnp.transpose(lane)                  # [128, 8]
@@ -527,7 +591,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                 cols.append(jnp.sum(g * laneoh, axis=1, keepdims=True))
             wv = jnp.transpose(jnp.concatenate(cols, axis=1))
             in_win = jnp.transpose(jnp.concatenate(inw_cols, axis=1)) == 1
-            fetch = need & in_win                    # progress this iter
+            fetch = need_f & in_win                  # progress this iter
         elif split_window:
             # TWO W/2 segments: seg1 at the min needy row (progress
             # guarantee), seg2 at the min row seg1 does NOT cover. Morton
@@ -536,27 +600,39 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
             # space — two half-windows cover both modes where one
             # contiguous window of the same total size cannot.
             Wh = W // 2
-            base1 = jnp.min(jnp.where(need, row, rows - 1))
+            base1 = jnp.min(jnp.where(need_f, row, rows - 1))
             base1 = jnp.maximum(jnp.minimum(base1, rows - Wh), 0)
             r1 = row - base1
             cov1 = (r1 >= 0) & (r1 < Wh)
-            base2 = jnp.min(jnp.where(need & ~cov1, row, rows - 1))
+            base2 = jnp.min(jnp.where(need_f & ~cov1, row, rows - 1))
             base2 = jnp.maximum(jnp.minimum(base2, rows - Wh), 0)
             r2 = row - base2
             cov2 = (r2 >= 0) & (r2 < Wh)
             in_win = cov1 | cov2
-            fetch = need & in_win                    # progress this iter
-            win = jnp.concatenate([tbl_ref[pl.ds(base1, Wh), :],
-                                   tbl_ref[pl.ds(base2, Wh), :]], axis=0)
-            row_rel = jnp.where(cov1, r1, Wh + r2)
-            wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane, W)
+            fetch = need_f & in_win                  # progress this iter
+            if split_matmul2:
+                # no [W,128] concat copy per iteration: one-hot each half
+                # against its own segment and SUM the two MXU products
+                # (rows covered by neither segment have all-zero one-hots)
+                rel = jnp.where(cov1, r1, r2)
+                wv = _lookup_window_split(
+                    tbl_ref[pl.ds(base1, Wh), :],
+                    tbl_ref[pl.ds(base2, Wh), :],
+                    jnp.clip(rel, 0, Wh - 1), cov1, lane, Wh)
+            else:
+                win = jnp.concatenate([tbl_ref[pl.ds(base1, Wh), :],
+                                       tbl_ref[pl.ds(base2, Wh), :]],
+                                      axis=0)
+                row_rel = jnp.where(cov1, r1, Wh + r2)
+                wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1),
+                                    lane, W)
         else:
-            base = jnp.min(jnp.where(need, row, rows - 1))
+            base = jnp.min(jnp.where(need_f, row, rows - 1))
             base = jnp.minimum(base, rows - W)
             base = jnp.maximum(base, 0)
             row_rel = row - base
             in_win = (row_rel >= 0) & (row_rel < W)
-            fetch = need & in_win                    # progress this iter
+            fetch = need_f & in_win                  # progress this iter
             win = tbl_ref[pl.ds(base, W), :]
             wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane, W)
         # signed bf16 encoding (world/packed.py): >0 -> child bits of an
@@ -565,21 +641,23 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
         ndist = jnp.maximum(-wv, 0.0).astype(jnp.int32)
         solid = _childbit(ncb, nvx, nvy, nvz) == 1
 
-        new_hit = fetch & solid
+        new_hit = (fetch & solid) | (adv_local & solid_local)
         newly_done = new_hit | terminate
-        upd = fetch | terminate
+        adv = fetch | adv_local
+        upd = adv | terminate
 
         sel = lambda c, a, b: jnp.where(c, a, b)
         return (
-            sel(fetch, nvx, vx), sel(fetch, nvy, vy), sel(fetch, nvz, vz),
+            sel(adv, nvx, vx), sel(adv, nvy, vy), sel(adv, nvz, vz),
             sel(fetch, ncb, cb), sel(fetch, ndist, dist),
             hit | new_hit.astype(jnp.int32),
             sel(new_hit, t_new, t_hit),
             sel(new_hit, ax, rax),
             sel(new_hit, sg, rsg),
-            steps + (fetch & ~freshb).astype(jnp.int32),
+            steps + (adv & ~freshb).astype(jnp.int32),
             done | newly_done.astype(jnp.int32),
             fresh & (~upd).astype(jnp.int32),
+            cbok | fetch.astype(jnp.int32),
             it + 1,
         )
 
@@ -597,7 +675,8 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
             return s
 
     s = jax.lax.while_loop(cond, body, state)
-    vx, vy, vz, _, dist_f, hit, t_hit, rax, rsg, steps, done_f, fresh_f, it = s
+    (vx, vy, vz, _, dist_f, hit, t_hit, rax, rsg, steps, done_f, fresh_f,
+     _, it) = s
 
     hit_ref[:] = hit
     t_ref[:] = t_hit
@@ -693,6 +772,8 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     resume_state: tuple | None = None,
                     extended: bool = False,
                     unroll: int = 2,
+                    split_matmul2: bool = False,
+                    local_advance: bool = True,
                     shade_spec: ShadeSpec | None = None,
                     mats: jax.Array | None = None,
                     lights_arr: jax.Array | None = None,
@@ -783,6 +864,8 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     kern = functools.partial(_march_kernel, dims=dims, max_steps=max_steps,
                              window=window, sublane_windows=sublane_windows,
                              split_window=split_window,
+                             split_matmul2=split_matmul2,
+                             local_advance=local_advance,
                              resume=resume, iter_budget=iter_budget,
                              unroll=unroll, shade_spec=shade_spec)
     table_bytes = rows * 128 * accel.words.dtype.itemsize
@@ -950,7 +1033,9 @@ def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
                              max_steps=max_steps, image_shape=image_shape,
                              window=window, block_shape=block_shape,
                              sublane_windows=sublane_windows,
-                             split_window=split_window, unroll=unroll,
+                             split_window=split_window,
+                             split_matmul2=tn.split_matmul2,
+                             local_advance=tn.local_advance, unroll=unroll,
                              interpret=interpret)
 
 

@@ -26,6 +26,8 @@ class MarchTuning:
     window: int = 1024
     unroll: int = 2
     split_window: bool = True
+    split_matmul2: bool = False
+    local_advance: bool = True
     sublane_windows: bool = False
     block: tuple[int, int] | None = (32, 32)
 
