@@ -41,6 +41,9 @@ from vxtpu.world.packed import (build_material_morton, build_packed_morton,
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "probe_r4_kernel_out.json")
 RES = {}
+if os.path.exists(OUT):   # resume: skip entries already measured
+    with open(OUT) as f:
+        RES = json.load(f)
 
 
 def save(name, entry):
@@ -98,6 +101,8 @@ def main():
         "contig_local1": dict(split_window=False, local_advance=True),
     }
     for name, kw in variants.items():
+        if name in RES:
+            continue
         f = jax.jit(functools.partial(march_dep, **kw))
         dt, cs = chain_time(f, (accel.words, o, d))
         # stats: exact loop iterations for the roofline
@@ -137,14 +142,16 @@ def main():
         return jnp.sum(rgb) * 1e-7
 
     f = jax.jit(fused_dep)
-    dt, cs = chain_time(f, (accel.words, mats, o, d))
-    save("fused_lambert_frame", dict(
-        ms=round(dt * 1e3, 1), compile_s=round(cs, 1),
-        mrays=round(H * W / dt / 1e6, 3), variant=best))
+    if "fused_lambert_frame" not in RES:
+        dt, cs = chain_time(f, (accel.words, mats, o, d))
+        save("fused_lambert_frame", dict(
+            ms=round(dt * 1e3, 1), compile_s=round(cs, 1),
+            mrays=round(H * W / dt / 1e6, 3), variant=best))
 
-    dt, cs = chain_time(f, (accel.words, mats, o_in, d_in))
-    save("fused_lambert_frame_inside", dict(
-        ms=round(dt * 1e3, 1), mrays=round(H * W / dt / 1e6, 3)))
+    if "fused_lambert_frame_inside" not in RES:
+        dt, cs = chain_time(f, (accel.words, mats, o_in, d_in))
+        save("fused_lambert_frame_inside", dict(
+            ms=round(dt * 1e3, 1), mrays=round(H * W / dt / 1e6, 3)))
 
     # ---- full feature set: shadows + specular + fog (VERDICT r3 #4)
     settings_full = RenderSettings(shading="full", shadows=True, fog=True,
@@ -158,11 +165,12 @@ def main():
         return jnp.sum(rgb) * 1e-7
 
     f = jax.jit(full_dep)
-    dt, cs = chain_time(f, (accel.words, mats, o, d))
-    save("fused_full_shadows_frame", dict(
-        ms=round(dt * 1e3, 1), compile_s=round(cs, 1),
-        mrays=round(H * W / dt / 1e6, 3), lights=1,
-        note="march + 1 shadow march + fused shade kernel"))
+    if "fused_full_shadows_frame" not in RES:
+        dt, cs = chain_time(f, (accel.words, mats, o, d))
+        save("fused_full_shadows_frame", dict(
+            ms=round(dt * 1e3, 1), compile_s=round(cs, 1),
+            mrays=round(H * W / dt / 1e6, 3), lights=1,
+            note="march + 1 shadow march + fused shade kernel"))
 
     # ---- device parity: fused rgb vs XLA pipeline on a small crop
     from vxtpu.render.kernel_pallas_v2 import make_march_pallas_v2

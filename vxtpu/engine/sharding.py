@@ -132,7 +132,8 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
                             optimize_camera: bool = True,
                             grad_buckets: int = 1,
                             optimizer=None, cam_optimizer=None,
-                            lights=None, use_custom_vjp: bool = False):
+                            lights=None, use_custom_vjp: bool = False,
+                            use_mask: bool = False, mask_scale: int = 4):
     """Jitted SPMD training step for config 5: rays sharded, grid replicated,
     grads psum'd over ICI, identical adam update on every device.
 
@@ -152,9 +153,18 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     (render/vjp.py) so backward residual memory stays flat at pod-scale ray
     counts — the path config 5 runs at 1080p.
 
+    use_mask=True switches to the MASKED soft model (render/occmask.py:
+    density gated to zero outside occupied coarse mask cells) with
+    empty-space-skipping sample bounds per microbatch — the occupancy-grid
+    speedup (SURVEY §8 / PAPERS P:5,P:9): the same in-band sample spacing
+    needs ~4-8x fewer samples. step_fn then takes a trailing ``mask``
+    argument (uint8 [X/G,Y/G,Z/G], replicated; refresh it periodically via
+    occmask.occupancy_mask_from_soft).
+
     Returns (init_fn, step_fn):
       init_fn(soft, cam) -> opt_state
-      step_fn(soft, cam, opt_state, o, d, target) -> (soft, cam, opt_state, loss)
+      step_fn(soft, cam, opt_state, o, d, target[, mask])
+          -> (soft, cam, opt_state, loss)
     with o/d/target sharded on axis 0 and soft/cam replicated.
     """
     import optax
@@ -165,7 +175,7 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     def init_fn(soft: SoftGrid, cam: Camera):
         return (opt.init(soft), cam_opt.init(cam) if optimize_camera else None)
 
-    def _local_loss(soft, cam_p, o_s, d_s, tgt_s, n_total):
+    def _local_loss(soft, cam_p, o_s, d_s, tgt_s, n_total, mask=None):
         # rays are regenerated? No: o/d precomputed & sharded; camera grads
         # flow through... for camera-pose grads rays must be a function of
         # the pose, so recompute directions from pose-relative offsets:
@@ -175,25 +185,37 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
         R = jnp.stack([fwd, right, up], axis=1)          # [3(world),3(cam)]
         d_world = d_s @ R.T
         o_world = jnp.broadcast_to(cam_p.pos, o_s.shape) + o_s
+        bounds = None
+        if mask is not None:
+            from vxtpu.render.occmask import mask_segment_bounds
+
+            bounds = mask_segment_bounds(mask, mask_scale, o_world, d_world)
         if use_custom_vjp:
             from vxtpu.render.vjp import render_soft_rays_fast
 
             pred = render_soft_rays_fast(soft, o_world, d_world, settings,
-                                         num_samples, lights)
+                                         num_samples, lights, mask,
+                                         mask_scale, bounds)
         else:
             pred, _ = render_soft_rays(soft, o_world, d_world, settings,
-                                       num_samples, lights)
+                                       num_samples, lights, mask=mask,
+                                       mask_scale=mask_scale,
+                                       seg_bounds=bounds)
         # mean over ALL rays: local sum / n_total, then psum
         return jnp.sum((pred - tgt_s) ** 2) / (n_total * 3.0)
+
+    mask_spec = (P(),) if use_mask else ()
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        in_specs=(P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
+                  *mask_spec),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    def _step(soft, cam, opt_state, o_s, d_s, tgt_s):
+    def _step(soft, cam, opt_state, o_s, d_s, tgt_s, *mask_a):
+        mask = mask_a[0] if use_mask else None
         n_local = o_s.shape[0]
         n_total = n_local * mesh.devices.size
         # grad_buckets is a tuning knob, not a shape constraint: fall back
@@ -212,7 +234,8 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
 
             def lf(params, sl=sl):
                 s, c = params
-                return _local_loss(s, c, o_s[sl], d_s[sl], tgt_s[sl], n_total)
+                return _local_loss(s, c, o_s[sl], d_s[sl], tgt_s[sl],
+                                   n_total, mask)
 
             loss_b, g_b = jax.value_and_grad(lf)((soft, cam))
             g_b = jax.lax.psum(g_b, RAY_AXIS)     # in flight during bucket b+1

@@ -220,7 +220,8 @@ def pack_lights(lights) -> jax.Array:
 _SHADOW_EPS = 1e-3  # matches render/shade._SHADOW_EPS (parity-tested)
 
 
-def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, lights_ref, vis,
+def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, mwin_ref, msem,
+                    lights_ref, vis,
                     ox, oy, oz, dx, dy, dz, hit, t_hit, vx, vy, vz,
                     rax, rsg):
     """Tile-resident shading: [8,128] march state -> (r, g, b) [8,128] f32.
@@ -229,11 +230,14 @@ def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, lights_ref, vis,
     parity-locked in tests/test_fused_shade.py. The material fetch is a
     windowed one-hot loop like the march fetch, but runs ~1-3 iterations
     per tile total (a tile's hit cells are a compact surface patch in
-    Morton space), not once per step.
+    Morton space), not once per step — so the material table can stay in
+    HBM (mat_ref is an ANY-space ref; at 512^3 two 64 MB VMEM tables
+    would blow the 128 MB budget) and each iteration DMAs its window into
+    the mwin_ref scratch.
     """
     hitb = hit == 1
     zero = jnp.zeros(TILE, jnp.int32)
-    Wm = min(spec.mat_window, rows)
+    Wm = mwin_ref.shape[0]
 
     # ---- material word fetch (f32 one-hot: 24-bit words)
     widx = _morton3(vx >> 1, vy >> 1, vz >> 1)
@@ -252,9 +256,12 @@ def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, lights_ref, vis,
         base = jnp.maximum(jnp.minimum(base, rows - Wm), 0)
         rel = row - base
         inw = (rel >= 0) & (rel < Wm)
-        win = mat_ref[pl.ds(base, Wm), :]
-        wv = _lookup_window(win, jnp.clip(rel, 0, Wm - 1), lane, Wm,
-                            dtype=jnp.float32)
+        cp = pltpu.make_async_copy(mat_ref.at[pl.ds(base, Wm), :],
+                                   mwin_ref, msem)
+        cp.start()
+        cp.wait()
+        wv = _lookup_window(mwin_ref[:], jnp.clip(rel, 0, Wm - 1), lane,
+                            Wm, dtype=jnp.float32)
         take = pend & inw
         mw = jnp.where(take, wv.astype(jnp.int32), mw)
         return got | take.astype(jnp.int32), mw, it + 1
@@ -370,7 +377,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
      steps_ref, iters_ref, done_ref, dist_ref) = refs[:11]
     refs = refs[11:]
     if shade_spec is not None:
-        r_ref, g_ref, b_ref = refs
+        r_ref, g_ref, b_ref, mwin_ref, msem_ref = refs
     else:
         assert not refs
     X, Y, Z = dims
@@ -695,7 +702,8 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
 
     if shade_spec is not None:
         r, g, b = _shade_epilogue(
-            shade_spec, tbl_ref.shape[0], mat_ref, lights_ref, None,
+            shade_spec, tbl_ref.shape[0], mat_ref, mwin_ref, msem_ref,
+            lights_ref, None,
             ox, oy, oz, dx, dy, dz, hit, t_hit, vx, vy, vz, rax, rsg)
         r_ref[:] = r
         g_ref[:] = g
@@ -871,19 +879,26 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
     table_bytes = rows * 128 * accel.words.dtype.itemsize
     in_specs = [ray_spec] * len(chans) + [tbl_spec]
     inputs = list(chans) + [accel.words]
+    scratch_shapes = []
     if fused:
-        table_bytes *= 2   # the material table is VMEM-resident too
-        in_specs += [pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
-                                  memory_space=pltpu.VMEM),
+        # material table stays in HBM (ANY); the epilogue DMAs its window
+        # into a scratch buffer 1-3x per tile (two VMEM-resident 64 MB
+        # tables would exceed the 128 MB budget at 512^3)
+        Wm = min(shade_spec.mat_window, rows)
+        table_bytes += Wm * 128 * 4
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
                      pl.BlockSpec((8, 8), lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM)]
         inputs += [mats, lights_arr]
+        scratch_shapes = [pltpu.VMEM((Wm, 128), jnp.float32),
+                          pltpu.SemaphoreType.DMA(())]
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
         out_specs=[ray_spec] * len(out_shape),
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(table_bytes + 16 * 1024 * 1024,
                                  127 * 1024 * 1024)),
@@ -1045,9 +1060,11 @@ def _shade_only_kernel(*refs, spec: ShadeSpec):
     refs = refs[13:]
     nvis = spec.n_lights if spec.use_vis else 0
     vis = [refs[i][:] for i in range(nvis)] or None
-    mat_ref, lights_ref, r_ref, g_ref, b_ref = refs[nvis:]
+    mat_ref, lights_ref, r_ref, g_ref, b_ref, mwin_ref, msem_ref = \
+        refs[nvis:]
     r, g, b = _shade_epilogue(
-        spec, mat_ref.shape[0], mat_ref, lights_ref, vis,
+        spec, mat_ref.shape[0], mat_ref, mwin_ref, msem_ref, lights_ref,
+        vis,
         ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
         hit_ref[:], t_ref[:], vx_ref[:], vy_ref[:], vz_ref[:],
         ax_ref[:], sg_ref[:])
@@ -1084,11 +1101,11 @@ def shade_pallas_v2(rec: HitRecord, o, d, vis, mats, lights_arr,
         assert vis is not None and vis.shape[1] == spec.n_lights
         chans += [pack(vis[:, li], 1.0) for li in range(spec.n_lights)]
     rows = mats.shape[0]
+    Wm = min(spec.mat_window, rows)
     ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = ([ray_spec] * len(chans)
-                + [pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
-                                memory_space=pltpu.VMEM),
+                + [pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec((8, 8), lambda i, j: (0, 0),
                                 memory_space=pltpu.SMEM)])
     outs = pl.pallas_call(
@@ -1097,8 +1114,10 @@ def shade_pallas_v2(rec: HitRecord, o, d, vis, mats, lights_arr,
         in_specs=in_specs,
         out_specs=[ray_spec] * 3,
         out_shape=[jax.ShapeDtypeStruct(raw_shape, jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((Wm, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(rows * 128 * 4 + 16 * 1024 * 1024,
+            vmem_limit_bytes=min(Wm * 128 * 4 + 16 * 1024 * 1024,
                                  127 * 1024 * 1024)),
         interpret=interpret,
     )(*chans, mats, lights_arr)

@@ -226,7 +226,8 @@ def warn_soft_scope(settings: RenderSettings, lights) -> None:
 
 def render_soft_rays(soft: SoftGrid, o: jax.Array, d: jax.Array,
                      settings: RenderSettings, num_samples: int,
-                     lights=None):
+                     lights=None, mask=None, mask_scale: int = 4,
+                     seg_bounds=None):
     """Volumetric render of rays [N,3] -> (rgb [N,3], aux dict).
 
     Uniform sampling over each ray's clipped [t_enter, t_exit] segment;
@@ -236,17 +237,39 @@ def render_soft_rays(soft: SoftGrid, o: jax.Array, d: jax.Array,
     lights: optional world.lights.Lights — when given (and settings.shading
     is 'lambert'/'full'), samples are lit via density-gradient normals
     (shade_samples); None keeps the emission-only mode.
+
+    mask: optional coarse occupancy mask uint8 [X/G, Y/G, Z/G] (G =
+    mask_scale) — the MASKED soft model (render/occmask.py): effective
+    density is zero outside occupied mask cells (a pointwise multiply
+    here; the fast path exploits it to skip empty space exactly).
+    seg_bounds: optional (t0, t1) per-ray sample-segment override
+    (occmask.mask_segment_bounds) — treated as NON-differentiable
+    constants (stop_gradient), so autodiff through this reference defines
+    the same quadrature-sense gradient as the custom VJP.
     """
     dims = soft.dims
     warn_soft_scope(settings, lights)
     t_enter, t_exit, valid = dda.ray_grid_clip(o, d, dims)
-    seg = jnp.maximum(t_exit - t_enter, 0.0)
+    if seg_bounds is not None:
+        t0 = jax.lax.stop_gradient(
+            jnp.maximum(seg_bounds[0], t_enter))
+        t1 = jax.lax.stop_gradient(
+            jnp.minimum(seg_bounds[1], t_exit))
+        seg = jnp.maximum(t1 - t0, 0.0)
+        start = t0
+    else:
+        seg = jnp.maximum(t_exit - t_enter, 0.0)
+        start = t_enter
     dt = seg / num_samples                                   # [N]
     s_idx = jnp.arange(num_samples, dtype=o.dtype) + 0.5     # [S]
-    t_s = t_enter[:, None] + dt[:, None] * s_idx[None, :]    # [N,S]
+    t_s = start[:, None] + dt[:, None] * s_idx[None, :]      # [N,S]
     p = o[:, None, :] + t_s[..., None] * d[:, None, :]       # [N,S,3]
 
     sigma = jax.nn.softplus(trilinear(soft.sigma_raw, p, dims))     # [N,S]
+    if mask is not None:
+        from vxtpu.render.occmask import mask_at
+
+        sigma = sigma * mask_at(mask, mask_scale, p)
     rgb = jax.nn.sigmoid(trilinear(soft.rgb_raw, p, dims))          # [N,S,3]
     if (lights is not None and lights.count > 0
             and settings.shading != "flat"):

@@ -56,9 +56,16 @@ def _is_lit(settings, lights) -> bool:
             and settings.shading != "flat")
 
 
-def _enter_dt(o, d, dims, num_samples):
-    """Differentiable (t_enter, dt) of the clipped ray segment."""
+def _enter_dt(o, d, dims, num_samples, seg_bounds=None):
+    """Differentiable (t_start, dt) of the sampled segment. With
+    seg_bounds (the occupancy-mask band, occmask.mask_segment_bounds) the
+    bounds are stop_gradient'd NON-differentiable constants — same
+    quadrature-gradient convention as the reference renderer."""
     t_enter, t_exit, _ = dda.ray_grid_clip(o, d, dims)
+    if seg_bounds is not None:
+        t0 = jax.lax.stop_gradient(jnp.maximum(seg_bounds[0], t_enter))
+        t1 = jax.lax.stop_gradient(jnp.minimum(seg_bounds[1], t_exit))
+        return t0, jnp.maximum(t1 - t0, 0.0) / num_samples
     seg = jnp.maximum(t_exit - t_enter, 0.0)
     return t_enter, seg / num_samples
 
@@ -76,13 +83,15 @@ def _sample_color(soft_sigma, soft_rgb, p, d, lights, settings, dims, lit):
     return sv, c
 
 
-def _forward_scan(soft: SoftGrid, o, d, lights, settings, num_samples):
+def _forward_scan(soft: SoftGrid, o, d, lights, settings, num_samples,
+                  mask=None, mask_scale=4, seg_bounds=None):
     """O(N) forward: returns color [N,3] (bit-order-identical to the
     cumprod formulation in render/soft.py — both multiply one_m factors in
-    sample order)."""
+    sample order). mask/seg_bounds: the masked soft model + its
+    empty-space-skipping sample band (render/occmask.py)."""
     dims = soft.dims
     lit = _is_lit(settings, lights)
-    t_enter, dt = _enter_dt(o, d, dims, num_samples)
+    t_enter, dt = _enter_dt(o, d, dims, num_samples, seg_bounds)
     _, _, valid = dda.ray_grid_clip(o, d, dims)
     n = o.shape[0]
 
@@ -93,6 +102,10 @@ def _forward_scan(soft: SoftGrid, o, d, lights, settings, num_samples):
         sv, c = _sample_color(soft.sigma_raw, soft.rgb_raw, p, d, lights,
                               settings, dims, lit)
         sigma = jax.nn.softplus(sv)
+        if mask is not None:
+            from vxtpu.render.occmask import mask_at
+
+            sigma = sigma * mask_at(mask, mask_scale, p)
         alpha = 1.0 - jnp.exp(-sigma * dt)
         alpha = jnp.where(valid, alpha, 0.0)
         w = T * alpha
@@ -108,34 +121,56 @@ def _forward_scan(soft: SoftGrid, o, d, lights, settings, num_samples):
     return color
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 7))
 def render_soft_rays_fast(soft: SoftGrid, o: jax.Array, d: jax.Array,
                           settings: RenderSettings, num_samples: int,
-                          lights: Lights | None = None):
+                          lights: Lights | None = None,
+                          mask: jax.Array | None = None,
+                          mask_scale: int = 4,
+                          seg_bounds=None):
     """Volumetric render rgb [N,3] with an O(N_rays + grid) custom VJP.
 
     Semantics == render/soft.py:render_soft_rays()[0] (parity-tested);
     grads == autodiff through it (allclose, tests/test_vjp.py). ``lights``
     enables the lit soft mode; gradients then also flow to the light
-    parameters (pos/rgb/intensity), matching autodiff."""
+    parameters (pos/rgb/intensity), matching autodiff.
+
+    mask / seg_bounds: the masked soft model and its empty-space-skipping
+    sample band (render/occmask.py) — bounds are non-differentiable by
+    convention (identical to autodiff through the bounded reference);
+    mask cells gate density exactly, so skipped space contributes neither
+    color nor gradient."""
     warn_soft_scope(settings, lights)
-    return _forward_scan(soft, o, d, lights, settings, num_samples)
+    return _forward_scan(soft, o, d, lights, settings, num_samples,
+                         mask, mask_scale, seg_bounds)
 
 
-def _fwd(soft, o, d, settings, num_samples, lights=None):
-    color = _forward_scan(soft, o, d, lights, settings, num_samples)
-    return color, (soft, o, d, lights, color)
+def _fwd(soft, o, d, settings, num_samples, lights=None, mask=None,
+         mask_scale=4, seg_bounds=None):
+    color = _forward_scan(soft, o, d, lights, settings, num_samples,
+                          mask, mask_scale, seg_bounds)
+    return color, (soft, o, d, lights, mask, seg_bounds, color)
 
 
-def _bwd(settings, num_samples, res, g):
-    soft, o, d, lights, color = res
+def _bwd(settings, num_samples, mask_scale, res, g):
+    soft, o, d, lights, mask, seg_bounds, color = res
     dims = soft.dims
     lit = _is_lit(settings, lights)
     n = o.shape[0]
 
+    # with seg_bounds the stop_gradient inside _enter_dt zeroes this vjp's
+    # (o, d) cotangents automatically — the bounds convention in one place
     (t_enter, dt), clip_vjp = jax.vjp(
-        lambda o_, d_: _enter_dt(o_, d_, dims, num_samples), o, d)
+        lambda o_, d_: _enter_dt(o_, d_, dims, num_samples, seg_bounds),
+        o, d)
     _, _, valid = dda.ray_grid_clip(o, d, dims)
+    # invalid (AABB-miss) rays carry ~1e30-scale clip params; every one of
+    # their contributions is masked, but the huge sample positions they
+    # imply can turn into inf/nan inside XLA's fused step (observed as
+    # scan-only NaNs on CPU) — pin them to a harmless 0-length segment at
+    # the origin. Their gradients are exactly zero either way.
+    t_enter = jnp.where(valid, t_enter, 0.0)
+    dt = jnp.where(valid, dt, 0.0)
     sky, sky_vjp = jax.vjp(lambda d_: sky_color(d_, settings), d)
 
     glights0 = (jax.tree_util.tree_map(jnp.zeros_like, lights)
@@ -178,6 +213,13 @@ def _bwd(settings, num_samples, res, g):
             (sv, c), f_vjp = jax.vjp(f, soft.sigma_raw, soft.rgb_raw, p)
 
         sigma = jax.nn.softplus(sv)
+        if mask is not None:
+            from vxtpu.render.occmask import mask_at
+
+            m_s = mask_at(mask, mask_scale, p)
+            sigma = sigma * m_s
+        else:
+            m_s = 1.0
         e = jnp.exp(-sigma * dt)
         alpha = jnp.where(valid, 1.0 - e, 0.0)
         one_m = 1.0 - alpha + _EPS
@@ -185,13 +227,19 @@ def _bwd(settings, num_samples, res, g):
 
         acc_new = acc + w[:, None] * c
         suffix = color - acc_new                       # sum_{j>s} + sky term
-        galpha = jnp.sum(g * (T[:, None] * c - suffix / one_m[:, None]),
+        # divisor clamped: XLA may reassociate (1 - alpha + eps) into
+        # ((1 + eps) - alpha) which rounds to EXACTLY zero for saturated
+        # samples (alpha == 1.0f) — observed as jit-only inf/nan here; the
+        # max() is an optimization barrier that restores the intended eps
+        # floor without changing any non-saturated value.
+        denom = jnp.maximum(one_m, _EPS)
+        galpha = jnp.sum(g * (T[:, None] * c - suffix / denom[:, None]),
                          axis=-1)
         galpha = jnp.where(valid, galpha, 0.0)
 
         gc = g * w[:, None]                            # dL/dc_eff_s
-        gsigma = galpha * dt * e                       # d alpha / d sigma
-        gsv = gsigma * jax.nn.sigmoid(sv)              # softplus'
+        gsigma = galpha * dt * e                       # d alpha / d sigma_eff
+        gsv = gsigma * m_s * jax.nn.sigmoid(sv)        # mask gate + softplus'
         if lit:
             gs_grid, gr_grid, gp, gd_shade, glp, glc, gli = f_vjp((gsv, gc))
             gl = Lights(pos=gl.pos + glp, rgb=gl.rgb + glc,
@@ -220,11 +268,18 @@ def _bwd(settings, num_samples, res, g):
     # the suffix term above, only the direct d-dependence of sky remains.
     (gd_sky,) = sky_vjp(T_end[:, None] * g)
     gd = gd + gd_sky
-    # chain t_enter / dt back into (o, d) through the AABB clip
+    # chain t_enter / dt back into (o, d) through the AABB clip (zeros
+    # when seg_bounds fixed the segment — see _enter_dt)
     go2, gd2 = clip_vjp((gte, gdt))
     glights = gl if lights is not None else None
+    import numpy as np
+
+    gmask = (np.zeros(mask.shape, dtype=jax.dtypes.float0)
+             if mask is not None else None)
+    gbounds = (tuple(jnp.zeros_like(b) for b in seg_bounds)
+               if seg_bounds is not None else None)
     return (SoftGrid(sigma_raw=gsig, rgb_raw=grgb), go + go2, gd + gd2,
-            glights)
+            glights, gmask, gbounds)
 
 
 render_soft_rays_fast.defvjp(_fwd, _bwd)

@@ -183,13 +183,15 @@ def build_material_morton(occupancy: jax.Array) -> jax.Array:
         "morton material table needs a cubic power-of-two grid")
     cx, cy, cz = coarse_dims((X, Y, Z))
     ids = jnp.minimum(occupancy.astype(jnp.int32), 7)
-    idsr = ids.reshape(cx, 2, cy, 2, cz, 2)
+    # strided slices, NOT a 6-D [cx,2,cy,2,cz,2] reshape: eagerly
+    # materializing that layout tile-pads the three minor dims (8,128)
+    # and explodes to ~32 GB at 512^3 on TPU
     word = jnp.zeros((cx, cy, cz), jnp.int32)
     for a in range(2):
         for b in range(2):
             for c in range(2):
                 ci = (a << 2) | (b << 1) | c
-                word = word | (idsr[:, a, :, b, :, c] << (3 * ci))
+                word = word | (ids[a::2, b::2, c::2] << (3 * ci))
     S = cx
     ii, jj, kk = jnp.meshgrid(jnp.arange(S), jnp.arange(S), jnp.arange(S),
                               indexing="ij")
