@@ -206,90 +206,107 @@ def bench_forward(details):
 
 
 def bench_pallas2(details):
-    """v2 Pallas kernel (Morton windowed bf16 fetch, 32x32 block tiles) at
-    the flagship 512³/1080p: march-only AND full shaded frame (lambert —
-    the same shading the wavefront headline uses), plus its own roofline:
-    per-tile loop-iteration counters from the kernel x a self-calibrated
-    bf16 one-hot-matmul cost give the MXU floor; iters vs ideal (per-tile
-    max march steps) gives the window-stall overhead."""
-    import functools
+    """Flagship Pallas kernel (Morton split-window bf16 fetch, local
+    same-cell advance, 32x32 block tiles) at 512³/1080p.
 
+    The headline frame is now FULLY IN-KERNEL: march + shade epilogue in
+    one Pallas dispatch (render/fused.py) — palette albedo via a windowed
+    material-table fetch once per tile, lambert + sky as VPU math on the
+    VMEM-resident tile (the reference shades inside its kernel the same
+    way, SURVEY.md §4.3). Also records the march-only time, the FULL
+    feature set (shadows + specular + fog: march + per-light t_max shadow
+    march + fused shade kernel — the c5 preset), an inside-the-grid
+    camera, and the roofline from the kernel's own iteration counters."""
     import jax
     import jax.numpy as jnp
 
     from vxtpu.camera.camera import Camera
     from vxtpu.camera.rays import generate_rays
-    from vxtpu.render.kernel_pallas_v2 import (make_march_pallas_v2,
-                                               march_pallas_v2)
-    from vxtpu.render.pipeline import render_image
+    from vxtpu.render.fused import render_rays_fused
+    from vxtpu.render.kernel_pallas_v2 import march_pallas_v2
     from vxtpu.render.settings import RenderSettings
     from vxtpu.world import procgen
     from vxtpu.world.lights import Lights
-    from vxtpu.world.packed import build_packed_morton
+    from vxtpu.world.packed import (build_material_morton,
+                                    build_packed_morton, PackedMorton)
 
     dims = (512, 512, 512)
     H, W = 1080, 1920
     grid = procgen.terrain(dims, seed=7)
     accel = build_packed_morton(grid.occupancy, cap=64)
+    mats = build_material_morton(grid.occupancy)
     cam = Camera.make(pos=(-360.0, 256.0, 560.0),
                       fov_y_deg=55.0).look_at((256.0, 256.0, 140.0))
     max_steps = sum(dims) + 2
     # tuning comes from the config system (MarchTuning defaults ARE the
     # benched configuration — no env vars)
-    tn = RenderSettings().tuning
-    window, unroll, block = tn.window, tn.unroll, tn.block
-    settings = RenderSettings(shading="lambert", step_chunk=8)
+    settings = RenderSettings(shading="lambert")
+    tn = settings.tuning
     lights = Lights.single((100.0, -150.0, 700.0), intensity=2.0)
     o, d = generate_rays(cam, H, W)
+    kw = dict(image_shape=(H, W), window=tn.window, block_shape=tn.block,
+              split_window=tn.split_window, local_advance=tn.local_advance,
+              unroll=tn.unroll)
 
     try:
         # ---- march only
         @jax.jit
         def f(o, d, words, dep):
             o = o.at[0, 0].add(dep * 1e-12)
-            rec = march_pallas_v2(o, d, type(accel)(words=words), dims,
-                                  max_steps, image_shape=(H, W),
-                                  window=window, block_shape=block,
-                                  unroll=unroll)
+            rec = march_pallas_v2(o, d, PackedMorton(words=words), dims,
+                                  max_steps, **kw)
             return jnp.sum(jnp.where(rec.hit, rec.t, 0.0)) * 1e-6
 
         dt_m = _chain_time(f, (o, d, accel.words), iters=3)
         details["pallas2_march"] = dict(
             ms=round(dt_m * 1e3, 1), mrays=round(H * W / dt_m / 1e6, 3),
-            window=window, unroll=unroll, block="32x32",
-            table="signed-word bf16 fetch")
+            window=tn.window, unroll=tn.unroll, block="32x32",
+            split_window=tn.split_window, local_advance=tn.local_advance,
+            table="signed-word bf16 split fetch")
 
-        # ---- full shaded frame (headline-comparable with the wavefront)
+        # ---- fused full frame: march + in-kernel shade (the headline)
         @jax.jit
-        def frame(g, words, eps):
-            cam2 = cam.replace(yaw=cam.yaw + eps * 1e-6)
-            acc = type(accel)(words=words)
+        def frame(words, mw, o, d, dep):
+            o = o.at[0, 0].add(dep * 1e-12)
+            rgb, _ = render_rays_fused(o, d, PackedMorton(words=words),
+                                       mw, dims, lights, settings,
+                                       image_shape=(H, W))
+            return jnp.sum(rgb) * 1e-7
 
-            def fac(occ_flat, dims_, settings_, accel_pos):
-                # render_image passes accel positionally; route the traced
-                # acc through the keyword path the factory expects
-                return make_march_pallas_v2(
-                    occ_flat, dims_, settings_, accel=acc,
-                    image_shape=(H, W), window=window, block_shape=block,
-                    unroll=unroll)
-
-            img = render_image(fac, g, cam2, lights, settings, H, W, acc)
-            return jnp.mean(img)
-
-        dt = _chain_time(lambda g, w, dep: frame(g, w, dep),
-                         (grid, accel.words), iters=3)
+        dt = _chain_time(lambda w, m, dep: frame(w, m, o, d, dep),
+                         (accel.words, mats), iters=3)
         mrays = H * W / dt / 1e6
         details["pallas2_512_1080p"] = dict(
-            ms=round(dt * 1e3, 1), mrays=round(mrays, 3), window=window,
-            block="32x32", shading="lambert", frame="march+shade+sky")
+            ms=round(dt * 1e3, 1), mrays=round(mrays, 3),
+            window=tn.window, block="32x32", shading="lambert",
+            frame="fused in-kernel march+shade+sky",
+            shade_overhead_ms=round((dt - dt_m) * 1e3, 1))
 
-        # ---- roofline: exact per-tile loop iterations vs the bf16 matmul
+        # ---- FULL feature set: shadows + specular + fog (c5 preset)
+        settings_full = RenderSettings(shading="full", shadows=True,
+                                       fog=True)
+
+        @jax.jit
+        def frame_full(words, mw, o, d, dep):
+            o = o.at[0, 0].add(dep * 1e-12)
+            rgb, _ = render_rays_fused(o, d, PackedMorton(words=words),
+                                       mw, dims, lights, settings_full,
+                                       image_shape=(H, W))
+            return jnp.sum(rgb) * 1e-7
+
+        dt_f = _chain_time(lambda w, m, dep: frame_full(w, m, o, d, dep),
+                           (accel.words, mats), iters=3)
+        details["pallas2_512_1080p_full"] = dict(
+            ms=round(dt_f * 1e3, 1),
+            mrays=round(H * W / dt_f / 1e6, 3), lights=1,
+            shading="full+shadows+fog",
+            frame="march + per-light t_max shadow march + fused shade")
+
+        # ---- roofline: exact per-tile loop iterations
         @jax.jit
         def stats_fn(o, d, words):
-            rec, st = march_pallas_v2(o, d, type(accel)(words=words), dims,
-                                      max_steps, image_shape=(H, W),
-                                      window=window, block_shape=block,
-                                      unroll=unroll, stats=True)
+            rec, st = march_pallas_v2(o, d, PackedMorton(words=words),
+                                      dims, max_steps, stats=True, **kw)
             return (jnp.sum(st["iters_tile"]),
                     jnp.sum(st["steps_tile_max"] + 1),
                     jnp.sum(rec.steps))
@@ -298,36 +315,16 @@ def bench_pallas2(details):
             int(x) for x in jax.block_until_ready(
                 stats_fn(o, d, accel.words))]
 
-        # ---- inside-the-grid camera (flythrough): all rays AABB-valid,
-        # start near geometry -> short paths; measures layout generality
-        # beyond the tuned outside viewpoint (probe recorded 41 Mrays/s)
-        from vxtpu.camera.camera import Camera as _Cam
-        cam_in = _Cam.make(pos=(256.0, 256.0, 120.0),
-                           fov_y_deg=55.0).look_at((500.0, 400.0, 90.0))
+        # ---- inside-the-grid camera (flythrough), fused frame
+        cam_in = Camera.make(pos=(256.0, 256.0, 120.0),
+                             fov_y_deg=55.0).look_at((500.0, 400.0, 90.0))
         o_in, d_in = generate_rays(cam_in, H, W)
-
-        @jax.jit
-        def f_in(o, d, words, dep):
-            o = o.at[0, 0].add(dep * 1e-12)
-            rec = march_pallas_v2(o, d, type(accel)(words=words), dims,
-                                  max_steps, image_shape=(H, W),
-                                  window=window, block_shape=block,
-                                  unroll=unroll)
-            return jnp.sum(jnp.where(rec.hit, rec.t, 0.0)) * 1e-6
-
-        dt_in = _chain_time(f_in, (o_in, d_in, accel.words), iters=3)
-        details["pallas2_inside_camera_march"] = dict(
+        dt_in = _chain_time(lambda w, m, dep: frame(w, m, o_in, d_in, dep),
+                            (accel.words, mats), iters=3)
+        details["pallas2_inside_camera_frame"] = dict(
             ms=round(dt_in * 1e3, 1),
-            mrays=round(H * W / dt_in / 1e6, 3), window=window,
-            block="32x32")
+            mrays=round(H * W / dt_in / 1e6, 3))
 
-        # Roofline from the kernel's own exact counters: the frame time
-        # divides by total loop iterations into a per-iteration cost
-        # (cross-checked against the forced-iteration probe artifacts:
-        # tools/probe_pallas2_cost_out.json measured 2.45 us full body, of
-        # which 2.1 us is the one-hot fetch machinery and 0.35 us loop+DDA,
-        # flat in window size), and the no-stall floor is the per-tile
-        # max-march-steps ideal at that same per-iteration cost.
         per_iter_us = dt_m * 1e6 / max(iters_total, 1)
         floor_ms = ideal_total * per_iter_us / 1e3
         details["pallas2_roofline"] = dict(
@@ -338,12 +335,13 @@ def bench_pallas2(details):
             per_iter_us=round(per_iter_us, 3),
             no_stall_floor_ms=round(floor_ms, 1),
             march_ms=round(dt_m * 1e3, 1),
+            frame_ms=round(dt * 1e3, 1),
             pct_of_no_stall_floor=round(100.0 * floor_ms / (dt_m * 1e3), 1),
-            note=("per_iter = march_ms / exact kernel loop iterations "
-                  "(matches the forced-iteration probe: ~2.5 us, fetch-"
-                  "machinery-bound, window-size independent); floor = "
-                  "per-tile max-march-steps ideal x per_iter — the gap is "
-                  "Morton window stalling from deep-ray divergence"))
+            note=("per_iter = march_ms / exact kernel loop iterations; "
+                  "floor = per-tile max-march-steps ideal x per_iter — "
+                  "the gap is split-window stalling from deep-ray Morton "
+                  "divergence; shading is IN-KERNEL so frame_ms - "
+                  "march_ms is the entire shade cost"))
         return mrays, dt
     except Exception as e:
         details["pallas2_512_1080p"] = dict(error=str(e)[:400])
@@ -351,13 +349,21 @@ def bench_pallas2(details):
 
 
 def bench_train(details):
-    """Sharded config-5-shaped train step at a realistic-on-this-endpoint
-    scale (128³ grid, 256² rays, 64 samples, lit soft mode, custom VJP),
-    grad_buckets 1 vs 4.
+    """Sharded config-5-shaped train step at the 128³ probe shape (256²
+    rays, lit soft mode, custom VJP) — three entries:
 
-    Single chip: the psum is degenerate, so this measures step cost and
-    bucketing OVERHEAD; ICI overlap itself is only demonstrable on >=2
-    chips (dryrun tier on this endpoint — see MULTICHIP artifact)."""
+      train_step_b1       dense S=64, 1 grad bucket: the SHIPPED config's
+                          cost on this single-chip topology (config5
+                          collapses to 1 bucket on 1-device meshes —
+                          bucketing only buys ICI overlap on real
+                          multi-chip, see MULTICHIP artifact)
+      train_step_b4       same, 4 buckets (single-chip overhead ablation)
+      train_step_masked   the occupancy-masked model (render/occmask.py):
+                          mask + per-ray segment bounds concentrate S=16
+                          samples in the occupied band — same in-band
+                          sample spacing as dense S=64 over the ~4x longer
+                          full segment. The headline train speedup.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -365,6 +371,7 @@ def bench_train(details):
     from vxtpu.engine.sharding import (camera_frame_rays, make_mesh,
                                        make_sharded_train_step,
                                        render_soft_image_sharded)
+    from vxtpu.render.occmask import occupancy_mask_from_soft
     from vxtpu.render.settings import RenderSettings
     from vxtpu.render.soft import SoftGrid
     from vxtpu.world import procgen
@@ -373,6 +380,7 @@ def bench_train(details):
     dims = (128, 128, 128)
     H = W = 256
     samples = 64
+    G = 4
     settings = RenderSettings(shading="lambert")
     lights = Lights.single((25.0, -38.0, 180.0), intensity=2.0)
     mesh = make_mesh(1)
@@ -384,28 +392,45 @@ def bench_train(details):
                                        mesh, lights=lights).reshape(-1, 3)
     o_c, d_c = camera_frame_rays(cam, H, W)
 
+    def time_step(step_fn, init_fn, soft, extra=()):
+        opt_state = init_fn(soft, cam)
+        c = cam
+        s2, c, opt_state, loss = step_fn(soft, c, opt_state, o_c, d_c,
+                                         target, *extra)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            s2, c, opt_state, loss = step_fn(s2, c, opt_state, o_c, d_c,
+                                             target, *extra)
+        float(loss)
+        return (time.perf_counter() - t0) / 4, float(loss)
+
     for buckets in (1, 4):
         init_fn, step_fn = make_sharded_train_step(
             settings, samples, mesh, optimize_camera=True,
             grad_buckets=buckets, lights=lights, use_custom_vjp=True)
-        soft = SoftGrid.zeros(dims)
-        opt_state = init_fn(soft, cam)
-        c = cam
-        # warm/compile
-        soft, c, opt_state, loss = step_fn(soft, c, opt_state, o_c, d_c,
-                                           target)
-        float(loss)
-        t0 = time.perf_counter()
-        for _ in range(4):
-            soft, c, opt_state, loss = step_fn(soft, c, opt_state, o_c, d_c,
-                                               target)
-        float(loss)
-        dt = (time.perf_counter() - t0) / 4
+        dt, loss = time_step(step_fn, init_fn, SoftGrid.zeros(dims))
         details[f"train_step_b{buckets}"] = dict(
             ms=round(dt * 1e3, 1), dims=dims, rays=H * W, samples=samples,
-            grad_buckets=buckets, lit=True, custom_vjp=True,
-            loss=float(loss))
-    return details["train_step_b4"]["ms"]
+            grad_buckets=buckets, lit=True, custom_vjp=True, loss=loss)
+
+    # masked: a realistic mid-training state (mask from a warm grid)
+    init_fn, step_fn = make_sharded_train_step(
+        settings, 16, mesh, optimize_camera=True, lights=lights,
+        use_custom_vjp=True, use_mask=True, mask_scale=G)
+    soft_warm = SoftGrid(sigma_raw=truth.sigma_raw * 0.8,
+                         rgb_raw=truth.rgb_raw * 0.8)
+    mask = occupancy_mask_from_soft(soft_warm, G, tau=0.01, dilate=1)
+    dt_m, loss_m = time_step(step_fn, init_fn, soft_warm, extra=(mask,))
+    details["train_step_masked"] = dict(
+        ms=round(dt_m * 1e3, 1), dims=dims, rays=H * W, samples=16,
+        mask_scale=G,
+        mask_occupied_frac=round(
+            float(jnp.mean(mask.astype(jnp.float32))), 4),
+        lit=True, custom_vjp=True, loss=loss_m,
+        speedup_vs_b1=round(details["train_step_b1"]["ms"]
+                            / max(dt_m * 1e3, 1e-9), 2))
+    return details["train_step_b1"]["ms"], details["train_step_masked"]["ms"]
 
 
 def main():
@@ -419,10 +444,10 @@ def main():
         r = bench_pallas2(details)
         if r is not None:
             p2, p2_dt = r
-    train_ms = None
+    train_ms = train_masked_ms = None
     if os.environ.get("VXTPU_BENCH_SKIP_TRAIN") != "1":
         try:
-            train_ms = bench_train(details)
+            train_ms, train_masked_ms = bench_train(details)
         except Exception as e:
             details["train_error"] = str(e)[:400]
 
@@ -435,7 +460,7 @@ def main():
     best, kern, best_dt = mrays, "wavefront", dt
     if p2 is not None and p2 > best:
         # raw dt, not the rounded details entry (ADVICE r3)
-        best, kern, best_dt = p2, "pallas2(morton-window bf16)", p2_dt
+        best, kern, best_dt = p2, "pallas2(fused split-window)", p2_dt
     line = {
         "metric": "Mrays/s/chip @ 512^3 grid, 1080p forward",
         "value": round(best, 3),
@@ -456,7 +481,9 @@ def main():
         line["pallas2"] = details["pallas2_512_1080p"].get(
             "skipped", details["pallas2_512_1080p"].get("error", ""))[:80]
     if train_ms is not None:
+        # b1 is what the shipped config runs on this 1-chip topology
         line["train_step_ms"] = train_ms
+        line["train_step_masked_ms"] = train_masked_ms
     print(json.dumps(line))
 
 

@@ -1,0 +1,114 @@
+"""Config 4 at its CONTRACT dims (BASELINE.json:10 — 512^3 differentiable
+soft grid, optimize colors/densities from target images) executed on the
+real chip: records that the 512^3 SoftGrid + adam state FITS HBM and what
+a train step COSTS, unmasked vs occupancy-masked (VERDICT r3 missing #2 /
+next-#5a: "no artifact shows a 512^3 SoftGrid + adam state even fits and
+runs").
+
+Writes tools/probe_r4_c512_out.json incrementally."""
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from vxtpu.camera.camera import Camera
+from vxtpu.engine.platform import enable_compilation_cache
+from vxtpu.engine.sharding import (camera_frame_rays, make_mesh,
+                                   make_sharded_train_step,
+                                   render_soft_image_sharded)
+from vxtpu.render.occmask import occupancy_mask_from_soft
+from vxtpu.render.settings import RenderSettings
+from vxtpu.render.soft import SoftGrid
+from vxtpu.world import procgen
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "probe_r4_c512_out.json")
+RES = {}
+
+
+def save(name, entry):
+    RES[name] = entry
+    with open(OUT, "w") as f:
+        json.dump(RES, f, indent=1)
+    print(name, entry, flush=True)
+
+
+def hbm_mb():
+    try:
+        st = jax.devices()[0].memory_stats()
+        return round(st.get("bytes_in_use", 0) / 1e6, 1)
+    except Exception:
+        return -1
+
+
+def main():
+    enable_compilation_cache()
+    dims = (512, 512, 512)
+    H = W = 256
+    samples = 32
+    G = 8   # 64^3 mask at 512^3
+    settings = RenderSettings(shading="flat")   # emission soft mode
+    mesh = make_mesh(1)
+    cam = Camera.make(pos=(-360.0, 256.0, 560.0),
+                      fov_y_deg=55.0).look_at((256.0, 256.0, 140.0))
+
+    t0 = time.time()
+    hard = procgen.terrain(dims, seed=7)
+    truth = SoftGrid.from_hard(hard, sigma_solid=25.0)
+    del hard
+    gc.collect()
+    save("truth_built", dict(seconds=round(time.time() - t0, 1),
+                             hbm_mb=hbm_mb()))
+
+    target = render_soft_image_sharded(truth, cam, settings, H, W, samples,
+                                       mesh).reshape(-1, 3)
+    target.block_until_ready()
+    save("target_rendered", dict(hbm_mb=hbm_mb()))
+
+    # learner initialized NEAR the truth (a realistic mid-training state:
+    # the masked step is the steady-state cost; dense steps from scratch
+    # would use mask=all-ones = the unmasked cost below)
+    soft = SoftGrid(sigma_raw=truth.sigma_raw * 0.8,
+                    rgb_raw=truth.rgb_raw * 0.8)
+    mask = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)
+    occ_frac = float(jnp.mean(mask.astype(jnp.float32)))
+    del truth
+    gc.collect()
+    o_c, d_c = camera_frame_rays(cam, H, W)
+
+    for name, use_mask, S in [("unmasked_s32", False, 32),
+                              ("masked_s32", True, 32),
+                              ("masked_s8", True, 8)]:
+        init_fn, step_fn = make_sharded_train_step(
+            settings, S, mesh, optimize_camera=False, use_custom_vjp=True,
+            use_mask=use_mask, mask_scale=G)
+        opt_state = init_fn(soft, cam)
+        args = (o_c, d_c, target) + ((mask,) if use_mask else ())
+        t0 = time.time()
+        s2, _, opt_state, loss = step_fn(soft, cam, opt_state, *args)
+        float(loss)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        iters = 3
+        for _ in range(iters):
+            s2, _, opt_state, loss = step_fn(s2, cam, opt_state, *args)
+        float(loss)
+        dt = (time.time() - t0) / iters
+        save(name, dict(step_ms=round(dt * 1e3, 1),
+                        compile_s=round(compile_s, 1),
+                        loss=float(loss), rays=H * W, samples=S,
+                        dims=dims, hbm_mb=hbm_mb(),
+                        mask_occupied_frac=round(occ_frac, 4)))
+        del opt_state, s2
+        gc.collect()
+
+
+if __name__ == "__main__":
+    main()

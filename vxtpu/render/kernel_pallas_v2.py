@@ -76,10 +76,16 @@ def _lookup_window(win, row_rel, lane, W, dtype=jnp.bfloat16):
     reduce picks the lane. Out-of-window rows must be pre-clamped by the
     caller (their results are masked out).
 
-    dtype=jnp.float32 keeps the matmul in f32 — required for tables whose
-    words exceed bf16's 8-bit-exact integer range (the 24-bit material
-    table, world/packed.build_material_morton).
+    dtype=jnp.float32 keeps the matmul in f32 with HIGHEST precision —
+    required for tables whose words exceed bf16's 8-bit-exact integer
+    range (the 24-bit material table, world/packed.build_material_morton).
+    On real TPUs the DEFAULT matmul precision casts f32 inputs to bf16
+    (measured: tools/probe_r4_matfetch_out.json — 13052 fetched as 13056),
+    which interpret-mode CPU runs do not reproduce; HIGHEST selects the
+    multi-pass bf16 decomposition that is f32-exact.
     """
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                 else None)
     # ONE transpose of the packed (row<<7|lane) index instead of two: the
     # transpose relayout is part of the measured fixed fetch overhead
     # (tools/probe_pallas2_fixed_out.json)
@@ -95,7 +101,8 @@ def _lookup_window(win, row_rel, lane, W, dtype=jnp.bfloat16):
     # window (not the stored table: Mosaic's dynamic sublane slice needs
     # f32 tiling) runs the fetch at the MXU's bf16 rate
     g_all = jnp.dot(rowoh_all, win.astype(dtype),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
     cols = []
     for c in range(8):
         lc = lt[:, c:c + 1]
