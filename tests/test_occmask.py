@@ -164,3 +164,25 @@ def test_masked_sharded_train_step_runs_and_descends():
             m = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)
     assert losses[-1] < losses[0], losses
     assert np.isfinite(np.asarray(soft.sigma_raw)).all()
+
+
+def test_fit_soft_with_occ_mask_converges():
+    """End-to-end: the train loop's occ_mask mode (all-ones mask ->
+    periodic refresh from current densities) reduces loss like the dense
+    path at a quarter of the samples."""
+    from vxtpu.train.loop import TrainConfig, fit_soft
+
+    dims = (32, 32, 32)
+    truth = SoftGrid.from_hard(
+        procgen.terrain(dims, seed=7, with_rgb=True), sigma_solid=25.0)
+    cam = Camera.make(pos=(-22.0, 16.0, 36.0)).look_at((16.0, 16.0, 9.0))
+    settings = RenderSettings()
+    from vxtpu.render.soft import render_soft_image
+
+    target = render_soft_image(truth, cam, settings, 32, 32, 64)
+    cfg = TrainConfig(steps=30, num_samples=16, use_custom_vjp=True,
+                      occ_mask=True, mask_scale=G, mask_refresh=10,
+                      nan_check_every=10)
+    soft, _, losses, _ = fit_soft(SoftGrid.zeros(dims), cam, target,
+                                  settings, cfg)
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])

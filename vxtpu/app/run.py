@@ -235,7 +235,8 @@ def cmd_train(args) -> int:
 
     tc = TrainConfig(steps=args.steps, num_samples=samples,
                      ray_batch=args.ray_batch, seed=cfg.seed,
-                     use_custom_vjp=args.custom_vjp)
+                     use_custom_vjp=args.custom_vjp,
+                     occ_mask=args.occmask)
     start_step = 0
     soft = SoftGrid.zeros(dims)
     opt_state = None
@@ -244,7 +245,8 @@ def cmd_train(args) -> int:
         tc = TrainConfig(steps=max(args.steps - start_step, 0),
                          num_samples=samples, ray_batch=args.ray_batch,
                          seed=cfg.seed + start_step,
-                         use_custom_vjp=args.custom_vjp)
+                         use_custom_vjp=args.custom_vjp,
+                         occ_mask=args.occmask)
         # adam moments resume too (None for pre-opt-state checkpoints)
         opt_state = load_opt_state(args.resume, make_optimizer(tc).init(soft))
 
@@ -464,6 +466,9 @@ def main(argv=None) -> int:
     sp.add_argument("--ray-batch", type=int, default=0)
     sp.add_argument("--views", type=int, default=1,
                     help=">1: multi-view orbit capture (config 4 'images')")
+    sp.add_argument("--occmask", action="store_true",
+                    help="occupancy-mask sample skipping (masked soft "
+                         "model; periodic mask refresh)")
     sp.add_argument("--custom-vjp", action="store_true",
                     help="render via the O(N+grid) custom-VJP fast path")
     sp.add_argument("--resume", default=None, help="checkpoint .npz to resume")

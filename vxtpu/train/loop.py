@@ -45,21 +45,40 @@ class TrainConfig:
     seed: int = 0
     nan_check_every: int = 25       # pull loss to host every k steps; 0 = off
     use_custom_vjp: bool = False    # render via the custom-VJP fast path
+    # occupancy-mask sample skipping (render/occmask.py): train the MASKED
+    # soft model — density zero outside occupied coarse cells, samples
+    # concentrated in each ray's occupied band, so num_samples can be cut
+    # ~4x at the same in-band spacing. The mask starts all-ones (= the
+    # plain model) and is refreshed from the current densities every
+    # mask_refresh steps (instant-ngp/Plenoxels-style occupancy updates).
+    occ_mask: bool = False
+    mask_scale: int = 4
+    mask_refresh: int = 50
+    mask_tau: float = 0.01
 
 
 def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
-             settings: RenderSettings, cfg: TrainConfig):
+             settings: RenderSettings, cfg: TrainConfig, mask=None):
     """target is always flat [N,3]. When optimizing the camera the rays are
     regenerated from the current pose (full image; hw = (H, W)) so pose
-    gradients flow through ray generation."""
+    gradients flow through ray generation. ``mask``: the occupancy-mask
+    model's coarse mask (cfg.occ_mask)."""
     if cfg.optimize_camera:
         o, d = generate_rays(cam, *hw)
+    bounds = None
+    if mask is not None:
+        from vxtpu.render.occmask import mask_segment_bounds
+
+        bounds = mask_segment_bounds(mask, cfg.mask_scale, o, d)
     if cfg.use_custom_vjp:
         from vxtpu.render.vjp import render_soft_rays_fast
 
-        pred = render_soft_rays_fast(soft, o, d, settings, cfg.num_samples)
+        pred = render_soft_rays_fast(soft, o, d, settings, cfg.num_samples,
+                                     None, mask, cfg.mask_scale, bounds)
     else:
-        pred, _ = render_soft_rays(soft, o, d, settings, cfg.num_samples)
+        pred, _ = render_soft_rays(soft, o, d, settings, cfg.num_samples,
+                                   mask=mask, mask_scale=cfg.mask_scale,
+                                   seg_bounds=bounds)
     loss = mse(pred, target)
     if cfg.tv_sigma:
         loss = loss + cfg.tv_sigma * tv_loss(soft.sigma_raw)
@@ -141,26 +160,40 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
         opt_state = opt.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, o_b, d_b, tgt_b):
+    def step(params, opt_state, o_b, d_b, tgt_b, *mask_a):
         def lf(p):
             s, c = p if cfg.optimize_camera else (p, cam)
-            return _loss_fn(s, c, o_b, d_b, tgt_b, (H, W), settings, cfg)
+            return _loss_fn(s, c, o_b, d_b, tgt_b, (H, W), settings, cfg,
+                            mask_a[0] if mask_a else None)
         loss, grads = jax.value_and_grad(lf)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    mask_a = ()
+    if cfg.occ_mask:
+        from vxtpu.render.occmask import mask_all_ones
+
+        mask_a = (mask_all_ones(soft.dims, cfg.mask_scale),)
     losses = []
     key = jax.random.PRNGKey(cfg.seed)
     n = o.shape[0]
     for i in range(cfg.steps):
+        if (cfg.occ_mask and cfg.mask_refresh
+                and i and i % cfg.mask_refresh == 0):
+            from vxtpu.render.occmask import occupancy_mask_from_soft
+
+            cur = params[0] if cfg.optimize_camera else params
+            mask_a = (occupancy_mask_from_soft(
+                cur, cfg.mask_scale, tau=cfg.mask_tau, dilate=1),)
         if minibatched:
             key, k = jax.random.split(key)
             idx = jax.random.randint(k, (cfg.ray_batch,), 0, n)
             o_b, d_b, t_b = o[idx], d[idx], target[idx]
         else:
             o_b, d_b, t_b = o, d, target
-        params, opt_state, loss = step(params, opt_state, o_b, d_b, t_b)
+        params, opt_state, loss = step(params, opt_state, o_b, d_b, t_b,
+                                       *mask_a)
         losses.append(loss)
         # NaN guard (SURVEY.md §6 "training-loop NaN guards"): periodic host
         # pull so a diverged run fails loudly instead of training on garbage.
