@@ -36,7 +36,13 @@ class SoftGrid:
     """Optimizable scene: raw (pre-softplus) densities + rgb logits.
 
     sigma_raw: float32 [X,Y,Z]   — softplus'd into nonneg density.
-    rgb_raw:   float32 [X,Y,Z,3] — sigmoid'd into [0,1] color.
+    rgb_raw:   float32 [3,X,Y,Z] — sigmoid'd into [0,1] color.
+
+    CHANNEL-MAJOR color storage is a TPU-layout requirement, not a style
+    choice: an [X,Y,Z,3] array tile-pads its minor dim 3 -> 128 (a 42x
+    HBM blowup — 64 GB at the 512^3 config-4 contract dims; measured as
+    an OOM in tools/probe_r4_c512). [3,X,Y,Z] keeps the (8,128) tiles
+    dense.
     """
 
     sigma_raw: jax.Array
@@ -50,7 +56,7 @@ class SoftGrid:
     def zeros(dims: tuple[int, int, int]) -> "SoftGrid":
         return SoftGrid(
             sigma_raw=jnp.full(dims, -2.0, jnp.float32),
-            rgb_raw=jnp.zeros((*dims, 3), jnp.float32),
+            rgb_raw=jnp.zeros((3, *dims), jnp.float32),
         )
 
     @staticmethod
@@ -60,29 +66,42 @@ class SoftGrid:
         Empty voxels inherit the mean color of neighboring solid voxels
         (two dilation passes): trilinear sampling at a surface mixes the
         solid center with the adjacent empty center, so leaving empties
-        black would darken every surface sample.
+        black would darken every surface sample. All math is per-channel
+        [X,Y,Z] planes (no [...,3] minor dim — see the class docstring).
         """
+        from vxtpu.world.grid import MATERIAL_RGB
+
         occ = (grid.occupancy > 0)
         sigma_raw = jnp.where(occ, sigma_solid, -6.0).astype(jnp.float32)
-        albedo = grid.albedo_flat().reshape(*grid.dims, 3)
+        if grid.rgb is not None:
+            chans = [grid.rgb[..., c] for c in range(3)]
+        else:
+            ids = jnp.minimum(grid.occupancy.astype(jnp.int32),
+                              MATERIAL_RGB.shape[0] - 1)
+            chans = [jnp.take(MATERIAL_RGB[:, c], ids, axis=0)
+                     for c in range(3)]
 
-        col = albedo * occ[..., None]
         w = occ.astype(jnp.float32)
+        cols = [c * w for c in chans]
         for _ in range(2):
-            csum = jnp.zeros_like(col)
             wsum = jnp.zeros_like(w)
+            csums = [jnp.zeros_like(c) for c in cols]
             for ax in range(3):
                 for sh in (1, -1):
-                    csum = csum + jnp.roll(col, sh, axis=ax)
                     wsum = wsum + jnp.roll(w, sh, axis=ax)
+                    csums = [cs + jnp.roll(c, sh, axis=ax)
+                             for cs, c in zip(csums, cols)]
             filled = wsum > 0
-            col = jnp.where((w > 0)[..., None], col,
-                            jnp.where(filled[..., None], csum / jnp.maximum(wsum, 1)[..., None], col))
+            denom = jnp.maximum(wsum, 1)
+            cols = [jnp.where(w > 0, c,
+                              jnp.where(filled, cs / denom, c))
+                    for c, cs in zip(cols, csums)]
             w = jnp.maximum(w, filled.astype(jnp.float32))
 
-        c = jnp.clip(col, 1e-3, 1.0 - 1e-3)
-        rgb_raw = jnp.log(c) - jnp.log1p(-c)
-        return SoftGrid(sigma_raw=sigma_raw, rgb_raw=rgb_raw)
+        logit = [jnp.log(jnp.clip(c, 1e-3, 1.0 - 1e-3))
+                 - jnp.log1p(-jnp.clip(c, 1e-3, 1.0 - 1e-3)) for c in cols]
+        return SoftGrid(sigma_raw=sigma_raw,
+                        rgb_raw=jnp.stack(logit, axis=0))
 
 
 def trilinear_grad(values: jax.Array, p: jax.Array,
@@ -128,19 +147,26 @@ def trilinear_grad(values: jax.Array, p: jax.Array,
 
 
 def trilinear(values: jax.Array, p: jax.Array, dims: tuple[int, int, int]):
-    """Trilinearly interpolate ``values`` ([X,Y,Z] or [X,Y,Z,C]) at world
-    points p [...,3] (voxel-center convention). Edge-clamped."""
+    """Trilinearly interpolate ``values`` ([X,Y,Z] scalar or [C,X,Y,Z]
+    channel-major — NEVER [...,C]: a minor channel dim tile-pads 3 -> 128
+    on TPU) at world points p [...,3] (voxel-center convention).
+    Edge-clamped. Returns [...] for scalar fields, [..., C] otherwise."""
     q = p - 0.5  # center-grid coords
     q0 = jnp.floor(q)
     f = q - q0
     i0 = jnp.clip(q0.astype(jnp.int32), 0, jnp.asarray(dims, jnp.int32) - 1)
     i1 = jnp.clip(i0 + 1, 0, jnp.asarray(dims, jnp.int32) - 1)
     X, Y, Z = dims
-    flat = values.reshape(X * Y * Z, -1)
+    if values.ndim == 3:
+        flats = (values.reshape(-1),)
+    else:
+        flats = tuple(values[c].reshape(-1)
+                      for c in range(values.shape[0]))
 
     def g(ix, iy, iz):
         idx = (ix * Y + iy) * Z + iz
-        return jnp.take(flat, idx, axis=0)
+        return jnp.stack([jnp.take(fl, idx, axis=0) for fl in flats],
+                         axis=-1)
 
     fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
     c000 = g(i0[..., 0], i0[..., 1], i0[..., 2])

@@ -16,9 +16,10 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def tv_loss(vol: jnp.ndarray) -> jnp.ndarray:
-    """Total-variation regularizer over a [X,Y,Z] or [X,Y,Z,C] volume —
-    the standard Plenoxels-style smoothness prior on voxel grids."""
-    dx = jnp.diff(vol, axis=0)
-    dy = jnp.diff(vol, axis=1)
-    dz = jnp.diff(vol, axis=2)
+    """Total-variation regularizer over a [X,Y,Z] or channel-major
+    [C,X,Y,Z] volume (spatial axes are always the LAST three) — the
+    standard Plenoxels-style smoothness prior on voxel grids."""
+    dx = jnp.diff(vol, axis=-3)
+    dy = jnp.diff(vol, axis=-2)
+    dz = jnp.diff(vol, axis=-1)
     return (jnp.mean(dx ** 2) + jnp.mean(dy ** 2) + jnp.mean(dz ** 2)) / 3.0
