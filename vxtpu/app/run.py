@@ -119,6 +119,25 @@ def cmd_render(args) -> int:
     h = args.height or cfg.height
     w = args.width or cfg.width
     grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
+    if args.kernel == "fused":
+        # the flagship path: march + shade in one Pallas dispatch
+        # (render/fused.py) — palette-mode scenes, morton accel implied
+        from vxtpu.render.fused import render_frame_fused
+        from vxtpu.world.packed import (build_material_morton,
+                                        build_packed_morton)
+
+        dd = dims or cfg.dims
+        acc = build_packed_morton(grid.occupancy, cap=64)
+        mats = build_material_morton(grid.occupancy)
+        fn = jax.jit(lambda words, mw: render_frame_fused(
+            type(acc)(words=words), mw, dd, cam, lights, cfg.settings,
+            h, w))
+        img = jax.block_until_ready(fn(acc.words, mats))
+        _save_png(args.out, img)
+        log.info("wrote %s [%dx%d] config=%s (fused)", args.out, h, w,
+                 cfg.name)
+        print(f"wrote {args.out} [{h}x{w}] config={cfg.name}")
+        return 0
     factory = _kernel_factory(args.kernel, image_shape=(h, w))
     atlas = None
     if getattr(args, "atlas", False):
@@ -436,7 +455,7 @@ def main(argv=None) -> int:
                         default="distfield")
         sp.add_argument("--kernel",
                         choices=["xla", "wavefront", "ref", "pallas",
-                                 "pallas2", "pallas-interpret"],
+                                 "pallas2", "fused", "pallas-interpret"],
                         default="xla")
 
     sp = sub.add_parser("render", help="render one frame to PNG")
