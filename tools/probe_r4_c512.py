@@ -31,6 +31,10 @@ from vxtpu.world import procgen
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "probe_r4_c512_out.json")
 RES = {}
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        RES = json.load(f)
+    RES.pop("unmasked_s32", None)   # remeasure in the new order
 
 
 def save(name, entry):
@@ -83,9 +87,15 @@ def main():
     gc.collect()
     o_c, d_c = camera_frame_rays(cam, H, W)
 
-    for name, use_mask, S in [("unmasked_s32", False, 32),
+    # masked first: the prior variant's executables/buffers linger in the
+    # allocator and the 512^3 state is ~8.4 GB of the 16 GB HBM — ordering
+    # matters (the first run of this probe died with an opaque backend
+    # error when masked ran after unmasked)
+    for name, use_mask, S in [("masked_s8", True, 8),
                               ("masked_s32", True, 32),
-                              ("masked_s8", True, 8)]:
+                              ("unmasked_s32", False, 32)]:
+        if name in RES:
+            continue
         init_fn, step_fn = make_sharded_train_step(
             settings, S, mesh, optimize_camera=False, use_custom_vjp=True,
             use_mask=use_mask, mask_scale=G)
