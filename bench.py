@@ -418,10 +418,13 @@ def bench_train(details):
     init_fn, step_fn = make_sharded_train_step(
         settings, 16, mesh, optimize_camera=True, lights=lights,
         use_custom_vjp=True, use_mask=True, mask_scale=G)
+    from vxtpu.render.occmask import mask_distance_field
+
     soft_warm = SoftGrid(sigma_raw=truth.sigma_raw * 0.8,
                          rgb_raw=truth.rgb_raw * 0.8)
     mask = occupancy_mask_from_soft(soft_warm, G, tau=0.01, dilate=1)
-    dt_m, loss_m = time_step(step_fn, init_fn, soft_warm, extra=(mask,))
+    dt_m, loss_m = time_step(step_fn, init_fn, soft_warm,
+                             extra=(mask, mask_distance_field(mask)))
     details["train_step_masked"] = dict(
         ms=round(dt_m * 1e3, 1), dims=dims, rays=H * W, samples=16,
         mask_scale=G,

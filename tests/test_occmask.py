@@ -154,14 +154,18 @@ def test_masked_sharded_train_step_runs_and_descends():
     soft = SoftGrid.from_hard(
         procgen.terrain(dims, seed=8, with_rgb=True), sigma_solid=10.0)
     opt_state = init_fn(soft, cam)
+    from vxtpu.render.occmask import mask_distance_field
+
     m = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)
+    mdf = mask_distance_field(m)
     losses = []
     for i in range(6):
         soft, cam2, opt_state, loss = step_fn(soft, cam, opt_state, o_c,
-                                              d_c, target, m)
+                                              d_c, target, m, mdf)
         losses.append(float(loss))
         if i == 2:
             m = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)
+            mdf = mask_distance_field(m)
     assert losses[-1] < losses[0], losses
     assert np.isfinite(np.asarray(soft.sigma_raw)).all()
 

@@ -23,7 +23,8 @@ from vxtpu.engine.platform import enable_compilation_cache
 from vxtpu.engine.sharding import (camera_frame_rays, make_mesh,
                                    make_sharded_train_step,
                                    render_soft_image_sharded)
-from vxtpu.render.occmask import occupancy_mask_from_soft
+from vxtpu.render.occmask import (mask_distance_field,
+                                  occupancy_mask_from_soft)
 from vxtpu.render.settings import RenderSettings
 from vxtpu.render.soft import SoftGrid
 from vxtpu.world import procgen
@@ -82,8 +83,16 @@ def main():
     soft = SoftGrid(sigma_raw=truth.sigma_raw * 0.8,
                     rgb_raw=truth.rgb_raw * 0.8)
     mask = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)
+    mask_df = mask_distance_field(mask)
     occ_frac = float(jnp.mean(mask.astype(jnp.float32)))
     del truth
+    # park the start state on HOST between variants: at 512^3 the state is
+    # 2.1 GB and the step loop must hold two generations of params + adam
+    # moments (~13 GB) — an extra device-resident copy tips HBM over (the
+    # earlier opaque backend error at float(loss) after the repeat loop)
+    import numpy as _np
+    soft_host = jax.tree_util.tree_map(_np.asarray, soft)
+    del soft
     gc.collect()
     o_c, d_c = camera_frame_rays(cam, H, W)
 
@@ -99,24 +108,32 @@ def main():
         init_fn, step_fn = make_sharded_train_step(
             settings, S, mesh, optimize_camera=False, use_custom_vjp=True,
             use_mask=use_mask, mask_scale=G)
+        soft = jax.tree_util.tree_map(jnp.asarray, soft_host)
         opt_state = init_fn(soft, cam)
-        args = (o_c, d_c, target) + ((mask,) if use_mask else ())
+        args = (o_c, d_c, target) + ((mask, mask_df) if use_mask else ())
         t0 = time.time()
         s2, _, opt_state, loss = step_fn(soft, cam, opt_state, *args)
+        del soft
+        jax.block_until_ready(s2)
         float(loss)
         compile_s = time.time() - t0
+        # ONE timed repeat with a hard sync: at 512^3 the step's live set
+        # is ~14 GB of the 16 GB HBM and a third enqueued step lands
+        # before the async deallocation of the previous generation's
+        # buffers completes — the endpoint then kills the program with an
+        # opaque InvalidArgument. One steady-state step is an honest
+        # timing at this endpoint's +/-25% session noise anyway.
         t0 = time.time()
-        iters = 3
-        for _ in range(iters):
-            s2, _, opt_state, loss = step_fn(s2, cam, opt_state, *args)
+        s2, _, opt_state, loss = step_fn(s2, cam, opt_state, *args)
+        jax.block_until_ready(s2)
         float(loss)
-        dt = (time.time() - t0) / iters
+        dt = time.time() - t0
         save(name, dict(step_ms=round(dt * 1e3, 1),
                         compile_s=round(compile_s, 1),
                         loss=float(loss), rays=H * W, samples=S,
                         dims=dims, hbm_mb=hbm_mb(),
                         mask_occupied_frac=round(occ_frac, 4)))
-        del opt_state, s2
+        del opt_state, s2, loss
         gc.collect()
 
 

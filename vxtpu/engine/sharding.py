@@ -157,13 +157,16 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     density gated to zero outside occupied coarse mask cells) with
     empty-space-skipping sample bounds per microbatch — the occupancy-grid
     speedup (SURVEY §8 / PAPERS P:5,P:9): the same in-band sample spacing
-    needs ~4-8x fewer samples. step_fn then takes a trailing ``mask``
-    argument (uint8 [X/G,Y/G,Z/G], replicated; refresh it periodically via
-    occmask.occupancy_mask_from_soft).
+    needs ~4-8x fewer samples. step_fn then takes trailing ``mask`` +
+    ``mask_df`` arguments (the uint8 [X/G,Y/G,Z/G] mask and its flat
+    distance field from occmask.mask_distance_field, both replicated;
+    refresh them together periodically — the df is an argument precisely
+    so it is NOT rebuilt inside every step, which costs seconds at 512^3
+    on dispatch-bound endpoints).
 
     Returns (init_fn, step_fn):
       init_fn(soft, cam) -> opt_state
-      step_fn(soft, cam, opt_state, o, d, target[, mask])
+      step_fn(soft, cam, opt_state, o, d, target[, mask, mask_df])
           -> (soft, cam, opt_state, loss)
     with o/d/target sharded on axis 0 and soft/cam replicated.
     """
@@ -175,7 +178,8 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     def init_fn(soft: SoftGrid, cam: Camera):
         return (opt.init(soft), cam_opt.init(cam) if optimize_camera else None)
 
-    def _local_loss(soft, cam_p, o_s, d_s, tgt_s, n_total, mask=None):
+    def _local_loss(soft, cam_p, o_s, d_s, tgt_s, n_total, mask=None,
+                    mask_df=None):
         # rays are regenerated? No: o/d precomputed & sharded; camera grads
         # flow through... for camera-pose grads rays must be a function of
         # the pose, so recompute directions from pose-relative offsets:
@@ -189,7 +193,8 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
         if mask is not None:
             from vxtpu.render.occmask import mask_segment_bounds
 
-            bounds = mask_segment_bounds(mask, mask_scale, o_world, d_world)
+            bounds = mask_segment_bounds(mask, mask_scale, o_world,
+                                         d_world, df_flat=mask_df)
         if use_custom_vjp:
             from vxtpu.render.vjp import render_soft_rays_fast
 
@@ -204,7 +209,7 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
         # mean over ALL rays: local sum / n_total, then psum
         return jnp.sum((pred - tgt_s) ** 2) / (n_total * 3.0)
 
-    mask_spec = (P(),) if use_mask else ()
+    mask_spec = (P(), P()) if use_mask else ()
 
     @functools.partial(
         shard_map,
@@ -216,6 +221,7 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     )
     def _step(soft, cam, opt_state, o_s, d_s, tgt_s, *mask_a):
         mask = mask_a[0] if use_mask else None
+        mask_df = mask_a[1] if use_mask else None
         n_local = o_s.shape[0]
         n_total = n_local * mesh.devices.size
         # grad_buckets is a tuning knob, not a shape constraint: fall back
@@ -235,7 +241,7 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
             def lf(params, sl=sl):
                 s, c = params
                 return _local_loss(s, c, o_s[sl], d_s[sl], tgt_s[sl],
-                                   n_total, mask)
+                                   n_total, mask, mask_df)
 
             loss_b, g_b = jax.value_and_grad(lf)((soft, cam))
             g_b = jax.lax.psum(g_b, RAY_AXIS)     # in flight during bucket b+1

@@ -74,8 +74,18 @@ def mask_at(mask: jax.Array, scale: int, p: jax.Array) -> jax.Array:
     return jnp.take(mask.reshape(-1), idx, axis=0).astype(jnp.float32)
 
 
+def mask_distance_field(mask: jax.Array) -> jax.Array:
+    """Flat distance field of the mask grid. Precompute this ONCE per
+    mask refresh and pass it to mask_segment_bounds: building it inside
+    the train step costs seconds at 512^3 on dispatch-bound endpoints
+    (measured in tools/probe_r4_c512_out.json)."""
+    md = tuple(int(x) for x in mask.shape)
+    return build_distance_field(mask.astype(jnp.uint8),
+                                cap=max(md)).reshape(-1)
+
+
 def mask_segment_bounds(mask: jax.Array, scale: int, o: jax.Array,
-                        d: jax.Array):
+                        d: jax.Array, df_flat: jax.Array | None = None):
     """(t0, t1) per ray: conservative entry/exit of the occupied-mask-cell
     band along each ray, in WORLD units. Rays touching no occupied cell
     get t0 == t1 (zero-length segment -> pure sky). NON-differentiable
@@ -93,8 +103,8 @@ def mask_segment_bounds(mask: jax.Array, scale: int, o: jax.Array,
     d = jax.lax.stop_gradient(d)
     G = float(scale)
     md = tuple(int(x) for x in mask.shape)
-    occ = mask.astype(jnp.uint8)
-    df_flat = build_distance_field(occ, cap=max(md)).reshape(-1)
+    if df_flat is None:
+        df_flat = mask_distance_field(mask)
     max_steps = sum(md) + 2
 
     om = o / G                                 # mask-grid coordinates

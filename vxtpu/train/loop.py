@@ -58,7 +58,8 @@ class TrainConfig:
 
 
 def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
-             settings: RenderSettings, cfg: TrainConfig, mask=None):
+             settings: RenderSettings, cfg: TrainConfig, mask=None,
+             mask_df=None):
     """target is always flat [N,3]. When optimizing the camera the rays are
     regenerated from the current pose (full image; hw = (H, W)) so pose
     gradients flow through ray generation. ``mask``: the occupancy-mask
@@ -69,7 +70,8 @@ def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
     if mask is not None:
         from vxtpu.render.occmask import mask_segment_bounds
 
-        bounds = mask_segment_bounds(mask, cfg.mask_scale, o, d)
+        bounds = mask_segment_bounds(mask, cfg.mask_scale, o, d,
+                                     df_flat=mask_df)
     if cfg.use_custom_vjp:
         from vxtpu.render.vjp import render_soft_rays_fast
 
@@ -164,7 +166,8 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
         def lf(p):
             s, c = p if cfg.optimize_camera else (p, cam)
             return _loss_fn(s, c, o_b, d_b, tgt_b, (H, W), settings, cfg,
-                            mask_a[0] if mask_a else None)
+                            mask_a[0] if mask_a else None,
+                            mask_a[1] if mask_a else None)
         loss, grads = jax.value_and_grad(lf)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -172,9 +175,10 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
 
     mask_a = ()
     if cfg.occ_mask:
-        from vxtpu.render.occmask import mask_all_ones
+        from vxtpu.render.occmask import mask_all_ones, mask_distance_field
 
-        mask_a = (mask_all_ones(soft.dims, cfg.mask_scale),)
+        m0 = mask_all_ones(soft.dims, cfg.mask_scale)
+        mask_a = (m0, mask_distance_field(m0))
     losses = []
     key = jax.random.PRNGKey(cfg.seed)
     n = o.shape[0]
@@ -184,8 +188,11 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
             from vxtpu.render.occmask import occupancy_mask_from_soft
 
             cur = params[0] if cfg.optimize_camera else params
-            mask_a = (occupancy_mask_from_soft(
-                cur, cfg.mask_scale, tau=cfg.mask_tau, dilate=1),)
+            m = occupancy_mask_from_soft(cur, cfg.mask_scale,
+                                         tau=cfg.mask_tau, dilate=1)
+            from vxtpu.render.occmask import mask_distance_field
+
+            mask_a = (m, mask_distance_field(m))
         if minibatched:
             key, k = jax.random.split(key)
             idx = jax.random.randint(k, (cfg.ray_batch,), 0, n)
