@@ -17,13 +17,15 @@ class MarchTuning:
     parity-locked as a semantics no-op in tests/test_pallas_v2.py.
 
     Defaults encode the BENCHED flagship configuration (the fastest
-    measured one: tools/probe_pallas2_split_out.json): split 2x512-row
-    Morton windows, 32x32 image-block tiles, 2x loop unroll. Reproducing
+    measured one: tools/probe_r4_tune_out.json): split 2x256-row Morton
+    windows (46.2 ms march / 44.8 Mrays/s at the flagship, vs 53.8 for
+    2x512), 32x32 image-block tiles, 2x loop unroll, local same-cell
+    advance. Reproducing
     the headline bench needs no overrides anywhere (VERDICT r3 weak #5/#6:
     tuning flows through the config system, not env vars).
     """
 
-    window: int = 1024
+    window: int = 512
     unroll: int = 2
     split_window: bool = True
     split_matmul2: bool = False
