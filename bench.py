@@ -393,17 +393,25 @@ def bench_train(details):
     o_c, d_c = camera_frame_rays(cam, H, W)
 
     def time_step(step_fn, init_fn, soft, extra=()):
+        import jax
+
         opt_state = init_fn(soft, cam)
         c = cam
         s2, c, opt_state, loss = step_fn(soft, c, opt_state, o_c, d_c,
                                          target, *extra)
+        jax.block_until_ready(s2)
         float(loss)
+        # hard sync per step, shallow queue: deep async step queues
+        # sporadically kill this endpoint with an opaque InvalidArgument
+        # (see tools/probe_r4_c512.py); 2 synced steps is an honest
+        # timing at the endpoint's +/-25% session noise
         t0 = time.perf_counter()
-        for _ in range(4):
+        for _ in range(2):
             s2, c, opt_state, loss = step_fn(s2, c, opt_state, o_c, d_c,
                                              target, *extra)
+            jax.block_until_ready(s2)
         float(loss)
-        return (time.perf_counter() - t0) / 4, float(loss)
+        return (time.perf_counter() - t0) / 2, float(loss)
 
     for buckets in (1, 4):
         init_fn, step_fn = make_sharded_train_step(
