@@ -422,25 +422,29 @@ def bench_train(details):
             ms=round(dt * 1e3, 1), dims=dims, rays=H * W, samples=samples,
             grad_buckets=buckets, lit=True, custom_vjp=True, loss=loss)
 
-    # masked: a realistic mid-training state (mask from a warm grid)
-    init_fn, step_fn = make_sharded_train_step(
-        settings, 16, mesh, optimize_camera=True, lights=lights,
-        use_custom_vjp=True, use_mask=True, mask_scale=G)
-    from vxtpu.render.occmask import mask_distance_field
+    # masked: a realistic mid-training state (mask from a warm grid).
+    # Runs in a SUBPROCESS: executing the masked program after the dense
+    # train programs in one process deterministically kills this endpoint
+    # with an opaque InvalidArgument (see tools/bench_train_masked.py).
+    import subprocess
+    import sys
 
-    soft_warm = SoftGrid(sigma_raw=truth.sigma_raw * 0.8,
-                         rgb_raw=truth.rgb_raw * 0.8)
-    mask = occupancy_mask_from_soft(soft_warm, G, tau=0.01, dilate=1)
-    dt_m, loss_m = time_step(step_fn, init_fn, soft_warm,
-                             extra=(mask, mask_distance_field(mask)))
-    details["train_step_masked"] = dict(
-        ms=round(dt_m * 1e3, 1), dims=dims, rays=H * W, samples=16,
-        mask_scale=G,
-        mask_occupied_frac=round(
-            float(jnp.mean(mask.astype(jnp.float32))), 4),
-        lit=True, custom_vjp=True, loss=loss_m,
-        speedup_vs_b1=round(details["train_step_b1"]["ms"]
-                            / max(dt_m * 1e3, 1e-9), 2))
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools",
+                      "bench_train_masked.py")],
+        capture_output=True, text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    try:
+        entry = json.loads(line)
+    except Exception:
+        raise RuntimeError(
+            f"bench_train_masked subprocess failed: {out.stderr[-400:]}")
+    entry["speedup_vs_b1"] = round(
+        details["train_step_b1"]["ms"] / max(entry["ms"], 1e-9), 2)
+    entry["note"] = ("subprocess run: masked-after-dense in one process "
+                     "trips an endpoint backend bug")
+    details["train_step_masked"] = entry
     return details["train_step_b1"]["ms"], details["train_step_masked"]["ms"]
 
 

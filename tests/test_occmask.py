@@ -154,14 +154,16 @@ def test_masked_sharded_train_step_runs_and_descends():
     soft = SoftGrid.from_hard(
         procgen.terrain(dims, seed=8, with_rgb=True), sigma_solid=10.0)
     opt_state = init_fn(soft, cam)
+    from vxtpu.engine.sharding import compute_mask_bounds
     from vxtpu.render.occmask import mask_distance_field
 
     m = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)
     mdf = mask_distance_field(m)
     losses = []
     for i in range(6):
+        t0, t1 = compute_mask_bounds(m, mdf, cam, o_c, d_c, G)
         soft, cam2, opt_state, loss = step_fn(soft, cam, opt_state, o_c,
-                                              d_c, target, m, mdf)
+                                              d_c, target, m, t0, t1)
         losses.append(float(loss))
         if i == 2:
             m = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 
 from vxtpu.camera.camera import Camera
 from vxtpu.engine.platform import enable_compilation_cache
-from vxtpu.engine.sharding import (camera_frame_rays, make_mesh,
-                                   make_sharded_train_step,
+from vxtpu.engine.sharding import (camera_frame_rays, compute_mask_bounds,
+                                   make_mesh, make_sharded_train_step,
                                    render_soft_image_sharded)
 from vxtpu.render.occmask import (mask_distance_field,
                                   occupancy_mask_from_soft)
@@ -110,7 +110,11 @@ def main():
             use_mask=use_mask, mask_scale=G)
         soft = jax.tree_util.tree_map(jnp.asarray, soft_host)
         opt_state = init_fn(soft, cam)
-        args = (o_c, d_c, target) + ((mask, mask_df) if use_mask else ())
+        if use_mask:
+            b0, b1 = compute_mask_bounds(mask, mask_df, cam, o_c, d_c, G)
+            args = (o_c, d_c, target, mask, b0, b1)
+        else:
+            args = (o_c, d_c, target)
         t0 = time.time()
         s2, _, opt_state, loss = step_fn(soft, cam, opt_state, *args)
         del soft

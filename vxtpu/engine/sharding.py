@@ -127,6 +127,29 @@ def render_soft_image_sharded(soft: SoftGrid, cam: Camera,
     return rgb[:n_real].reshape(height, width, 3)
 
 
+def _world_rays(cam_p, o_s, d_s):
+    """Camera-frame rays -> world rays (shared by the train step and the
+    standalone bounds pass so both see IDENTICAL ray geometry)."""
+    fwd, right, up = cam_p.basis()
+    R = jnp.stack([fwd, right, up], axis=1)          # [3(world),3(cam)]
+    return jnp.broadcast_to(cam_p.pos, o_s.shape) + o_s, d_s @ R.T
+
+
+def compute_mask_bounds(mask, mask_df, cam, o_c, d_c, mask_scale: int = 4):
+    """Standalone (jit-friendly) occupancy-band bounds for the masked
+    train step: call once per step with the CURRENT camera and pass the
+    result into step_fn. Deliberately a SEPARATE program from the step:
+    fusing the bounds march into the train program trips a
+    repeat-execution backend fault on this endpoint (the standalone
+    march runs indefinitely; the fused program dies on its 3rd run —
+    see tools/probe_r4_c512.py notes)."""
+    from vxtpu.render.occmask import mask_segment_bounds
+
+    o_w, d_w = _world_rays(cam, o_c, d_c)
+    return mask_segment_bounds(mask, mask_scale, o_w, d_w,
+                               df_flat=mask_df)
+
+
 def make_sharded_train_step(settings: RenderSettings, num_samples: int,
                             mesh: Mesh, lr: float = 5e-2, cam_lr: float = 1e-3,
                             optimize_camera: bool = True,
@@ -157,16 +180,18 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     density gated to zero outside occupied coarse mask cells) with
     empty-space-skipping sample bounds per microbatch — the occupancy-grid
     speedup (SURVEY §8 / PAPERS P:5,P:9): the same in-band sample spacing
-    needs ~4-8x fewer samples. step_fn then takes trailing ``mask`` +
-    ``mask_df`` arguments (the uint8 [X/G,Y/G,Z/G] mask and its flat
-    distance field from occmask.mask_distance_field, both replicated;
-    refresh them together periodically — the df is an argument precisely
-    so it is NOT rebuilt inside every step, which costs seconds at 512^3
-    on dispatch-bound endpoints).
+    needs ~4-8x fewer samples. step_fn then takes trailing
+    ``mask, t0, t1`` arguments: the uint8 [X/G,Y/G,Z/G] mask (replicated)
+    plus per-ray segment bounds (sharded) from compute_mask_bounds — run
+    THAT once per step with the current camera (and refresh mask +
+    occmask.mask_distance_field periodically). The bounds pass is a
+    separate program by design: fusing its march into the train program
+    trips a repeat-execution backend fault on this endpoint, and keeping
+    it out also avoids recomputing it per grad bucket.
 
     Returns (init_fn, step_fn):
       init_fn(soft, cam) -> opt_state
-      step_fn(soft, cam, opt_state, o, d, target[, mask, mask_df])
+      step_fn(soft, cam, opt_state, o, d, target[, mask, t0, t1])
           -> (soft, cam, opt_state, loss)
     with o/d/target sharded on axis 0 and soft/cam replicated.
     """
@@ -179,22 +204,13 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
         return (opt.init(soft), cam_opt.init(cam) if optimize_camera else None)
 
     def _local_loss(soft, cam_p, o_s, d_s, tgt_s, n_total, mask=None,
-                    mask_df=None):
+                    bounds=None):
         # rays are regenerated? No: o/d precomputed & sharded; camera grads
         # flow through... for camera-pose grads rays must be a function of
         # the pose, so recompute directions from pose-relative offsets:
         # we store per-ray *pixel* dirs in camera frame instead. Simpler:
         # the caller passes camera-frame ray dirs; rotate here.
-        fwd, right, up = cam_p.basis()
-        R = jnp.stack([fwd, right, up], axis=1)          # [3(world),3(cam)]
-        d_world = d_s @ R.T
-        o_world = jnp.broadcast_to(cam_p.pos, o_s.shape) + o_s
-        bounds = None
-        if mask is not None:
-            from vxtpu.render.occmask import mask_segment_bounds
-
-            bounds = mask_segment_bounds(mask, mask_scale, o_world,
-                                         d_world, df_flat=mask_df)
+        o_world, d_world = _world_rays(cam_p, o_s, d_s)
         if use_custom_vjp:
             from vxtpu.render.vjp import render_soft_rays_fast
 
@@ -209,7 +225,7 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
         # mean over ALL rays: local sum / n_total, then psum
         return jnp.sum((pred - tgt_s) ** 2) / (n_total * 3.0)
 
-    mask_spec = (P(), P()) if use_mask else ()
+    mask_spec = (P(), P(RAY_AXIS), P(RAY_AXIS)) if use_mask else ()
 
     @functools.partial(
         shard_map,
@@ -221,7 +237,6 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     )
     def _step(soft, cam, opt_state, o_s, d_s, tgt_s, *mask_a):
         mask = mask_a[0] if use_mask else None
-        mask_df = mask_a[1] if use_mask else None
         n_local = o_s.shape[0]
         n_total = n_local * mesh.devices.size
         # grad_buckets is a tuning knob, not a shape constraint: fall back
@@ -240,8 +255,9 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
 
             def lf(params, sl=sl):
                 s, c = params
+                b = ((mask_a[1][sl], mask_a[2][sl]) if use_mask else None)
                 return _local_loss(s, c, o_s[sl], d_s[sl], tgt_s[sl],
-                                   n_total, mask, mask_df)
+                                   n_total, mask, b)
 
             loss_b, g_b = jax.value_and_grad(lf)((soft, cam))
             g_b = jax.lax.psum(g_b, RAY_AXIS)     # in flight during bucket b+1

@@ -59,19 +59,14 @@ class TrainConfig:
 
 def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
              settings: RenderSettings, cfg: TrainConfig, mask=None,
-             mask_df=None):
+             bounds=None):
     """target is always flat [N,3]. When optimizing the camera the rays are
     regenerated from the current pose (full image; hw = (H, W)) so pose
     gradients flow through ray generation. ``mask``: the occupancy-mask
     model's coarse mask (cfg.occ_mask)."""
     if cfg.optimize_camera:
         o, d = generate_rays(cam, *hw)
-    bounds = None
-    if mask is not None:
-        from vxtpu.render.occmask import mask_segment_bounds
 
-        bounds = mask_segment_bounds(mask, cfg.mask_scale, o, d,
-                                     df_flat=mask_df)
     if cfg.use_custom_vjp:
         from vxtpu.render.vjp import render_soft_rays_fast
 
@@ -167,38 +162,56 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
             s, c = p if cfg.optimize_camera else (p, cam)
             return _loss_fn(s, c, o_b, d_b, tgt_b, (H, W), settings, cfg,
                             mask_a[0] if mask_a else None,
-                            mask_a[1] if mask_a else None)
+                            (mask_a[1], mask_a[2]) if mask_a else None)
         loss, grads = jax.value_and_grad(lf)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    mask_a = ()
+    mask = mask_df = None
+    bounds_fn = None
     if cfg.occ_mask:
-        from vxtpu.render.occmask import mask_all_ones, mask_distance_field
+        from vxtpu.render.occmask import (mask_all_ones,
+                                          mask_distance_field,
+                                          mask_segment_bounds)
 
-        m0 = mask_all_ones(soft.dims, cfg.mask_scale)
-        mask_a = (m0, mask_distance_field(m0))
+        mask = mask_all_ones(soft.dims, cfg.mask_scale)
+        mask_df = mask_distance_field(mask)
+        # bounds are a SEPARATE jitted program from the step, computed
+        # per iteration from the current camera/rays (fusing the bounds
+        # march into the train program trips a repeat-execution backend
+        # fault on the bench endpoint; it also avoids re-marching per
+        # grad evaluation)
+        bounds_fn = jax.jit(functools.partial(mask_segment_bounds,
+                                              scale=cfg.mask_scale))
     losses = []
     key = jax.random.PRNGKey(cfg.seed)
     n = o.shape[0]
     for i in range(cfg.steps):
         if (cfg.occ_mask and cfg.mask_refresh
                 and i and i % cfg.mask_refresh == 0):
-            from vxtpu.render.occmask import occupancy_mask_from_soft
+            from vxtpu.render.occmask import (mask_distance_field,
+                                              occupancy_mask_from_soft)
 
             cur = params[0] if cfg.optimize_camera else params
-            m = occupancy_mask_from_soft(cur, cfg.mask_scale,
-                                         tau=cfg.mask_tau, dilate=1)
-            from vxtpu.render.occmask import mask_distance_field
-
-            mask_a = (m, mask_distance_field(m))
+            mask = occupancy_mask_from_soft(cur, cfg.mask_scale,
+                                            tau=cfg.mask_tau, dilate=1)
+            mask_df = mask_distance_field(mask)
         if minibatched:
             key, k = jax.random.split(key)
             idx = jax.random.randint(k, (cfg.ray_batch,), 0, n)
             o_b, d_b, t_b = o[idx], d[idx], target[idx]
         else:
             o_b, d_b, t_b = o, d, target
+        mask_a = ()
+        if cfg.occ_mask:
+            if cfg.optimize_camera:
+                cur_cam = params[1]
+                o_r, d_r = generate_rays(cur_cam, H, W)
+            else:
+                o_r, d_r = o_b, d_b
+            t0b, t1b = bounds_fn(mask, o=o_r, d=d_r, df_flat=mask_df)
+            mask_a = (mask, t0b, t1b)
         params, opt_state, loss = step(params, opt_state, o_b, d_b, t_b,
                                        *mask_a)
         losses.append(loss)
