@@ -170,3 +170,46 @@ def test_pallas_v2_128cube_on_device():
     r = jax.block_until_ready(ref(o, d))
     f = jax.block_until_ready(fast(o, d))
     _assert_hitrec_close(r, f)
+
+
+def test_fused_shade_matches_xla_on_device(scene):
+    """The fused in-kernel shade (material one-hot fetch at HIGHEST matmul
+    precision + VPU lighting) must agree with the XLA shading pipeline ON
+    REAL HARDWARE — interpret-mode CPU parity cannot catch the default-
+    matmul-precision trap that silently bf16-rounds the 24-bit material
+    words (found in r4: tools/probe_r4_matfetch_out.json; exact after the
+    Precision.HIGHEST fix, tools/probe_r4_parity_out.json)."""
+    import jax
+
+    from vxtpu.render.fused import render_rays_fused
+    from vxtpu.render.kernel_pallas_v2 import make_march_pallas_v2
+    from vxtpu.render.pipeline import render_rays
+    from vxtpu.render.settings import RenderSettings
+    from vxtpu.world.lights import Lights
+    from vxtpu.world.packed import (build_material_morton,
+                                    build_packed_morton, PackedMorton)
+
+    grid, o, d = scene
+    accel = build_packed_morton(grid.occupancy)
+    mats = build_material_morton(grid.occupancy)
+    lights = Lights.single((25.0, -10.0, 60.0), intensity=2.0)
+    for st in (RenderSettings(shading="lambert"),
+               RenderSettings(shading="full", shadows=True, fog=True)):
+        @jax.jit
+        def frgb(words, mw, oo, dd, st=st):
+            rgb, _ = render_rays_fused(oo, dd, PackedMorton(words=words),
+                                       mw, DIMS, lights, st,
+                                       image_shape=(32, 32))
+            return rgb
+
+        @jax.jit
+        def xrgb(occ, oo, dd, st=st):
+            march = make_march_pallas_v2(occ, DIMS, st, accel=accel,
+                                         image_shape=(32, 32))
+            rgb, _ = render_rays(march, oo, dd, grid.albedo(), DIMS,
+                                 lights, st)
+            return rgb
+
+        a = np.asarray(frgb(accel.words, mats, o, d))
+        b = np.asarray(xrgb(grid.occupancy.reshape(-1), o, d))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)

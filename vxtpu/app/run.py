@@ -179,13 +179,29 @@ def cmd_animate(args) -> int:
         height=1.1 * Z,
         period=args.frames / 24.0,
     )
-    factory = _kernel_factory(args.kernel, image_shape=(h, w))
+    if args.kernel == "fused":
+        # one-dispatch march+shade frames on the flagship kernel
+        from vxtpu.render.fused import render_frame_fused
+        from vxtpu.world.packed import (build_material_morton,
+                                        build_packed_morton)
 
-    @jax.jit
-    def frame(g, a, t):
-        return render_image(
-            factory, g, cam_at(t), lights, cfg.settings, h, w, a
-        )
+        m_accel = build_packed_morton(grid.occupancy, cap=64)
+        m_mats = build_material_morton(grid.occupancy)
+
+        @jax.jit
+        def frame(words, mw, t):
+            return render_frame_fused(type(m_accel)(words=words), mw, dims,
+                                      cam_at(t), lights, cfg.settings, h, w)
+
+        grid, accel = m_accel.words, m_mats   # reuse the loop's arg slots
+    else:
+        factory = _kernel_factory(args.kernel, image_shape=(h, w))
+
+        @jax.jit
+        def frame(g, a, t):
+            return render_image(
+                factory, g, cam_at(t), lights, cfg.settings, h, w, a
+            )
 
     os.makedirs(args.out, exist_ok=True)
     # frame encode+IO runs on the native C++ worker pool so disk latency
