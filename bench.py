@@ -344,7 +344,12 @@ def bench_pallas2(details):
                   "march_ms is the entire shade cost"))
         return mrays, dt
     except Exception as e:
-        details["pallas2_512_1080p"] = dict(error=str(e)[:400])
+        # never clobber an already-measured entry with the error record
+        details.setdefault("pallas2_512_1080p", {}).setdefault(
+            "error", str(e)[:400])
+        if "mrays" in details.get("pallas2_512_1080p", {}):
+            dtv = details["pallas2_512_1080p"]["ms"] / 1e3
+            return details["pallas2_512_1080p"]["mrays"], dtv
     return None
 
 
@@ -371,7 +376,6 @@ def bench_train(details):
     from vxtpu.engine.sharding import (camera_frame_rays, make_mesh,
                                        make_sharded_train_step,
                                        render_soft_image_sharded)
-    from vxtpu.render.occmask import occupancy_mask_from_soft
     from vxtpu.render.settings import RenderSettings
     from vxtpu.render.soft import SoftGrid
     from vxtpu.world import procgen
@@ -380,7 +384,6 @@ def bench_train(details):
     dims = (128, 128, 128)
     H = W = 256
     samples = 64
-    G = 4
     settings = RenderSettings(shading="lambert")
     lights = Lights.single((25.0, -38.0, 180.0), intensity=2.0)
     mesh = make_mesh(1)

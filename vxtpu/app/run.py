@@ -118,14 +118,21 @@ def cmd_render(args) -> int:
     dims = (args.dims,) * 3 if args.dims else None
     h = args.height or cfg.height
     w = args.width or cfg.width
-    grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
-    if args.kernel == "fused":
+    fused = args.kernel == "fused"
+    grid, accel, cam, lights = _build_scene(
+        cfg, dims, "none" if fused else args.accel)
+    if fused:
         # the flagship path: march + shade in one Pallas dispatch
-        # (render/fused.py) — palette-mode scenes, morton accel implied
+        # (render/fused.py) — morton accel implied (built below; the
+        # scene's accel build is skipped via accel_kind="none")
         from vxtpu.render.fused import render_frame_fused
         from vxtpu.world.packed import (build_material_morton,
                                         build_packed_morton)
 
+        if cfg.with_rgb or getattr(args, "atlas", False):
+            print("note: --kernel fused shades from the material palette "
+                  "(occupancy ids); per-voxel RGB / --atlas are only "
+                  "honored by the XLA shading pipeline kernels")
         dd = dims or cfg.dims
         acc = build_packed_morton(grid.occupancy, cap=64)
         mats = build_material_morton(grid.occupancy)

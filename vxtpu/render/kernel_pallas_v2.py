@@ -120,9 +120,10 @@ def _lookup_window_split(win1, win2, rel, cov1, lane, Wh,
     concat path, no per-iteration window materialization.
 
     rel: row index RELATIVE to the covering segment's base (pre-clipped to
-    [0, Wh)); cov1: True where segment 1 covers the ray. Rays covered by
-    neither segment get an all-zero one-hot row in both products (callers
-    mask them via in_win anyway).
+    [0, Wh)); cov1: True where segment 1 covers the ray. NOTE: rays
+    covered by NEITHER segment still produce a valid one-hot row (the
+    caller clips rel), so their fetched value is garbage — callers MUST
+    mask them out via in_win, exactly as the march body does.
     """
     packed = (jnp.where(cov1, (1 << 27), 0) | (rel << 7) | lane)
     wt = jnp.transpose(packed)                    # [128, 8] one transpose
@@ -778,7 +779,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     dims: tuple[int, int, int], max_steps: int,
                     t_max: jax.Array | None = None,
                     image_shape: tuple[int, int] | None = None,
-                    window: int = 1024,
+                    window: int = 512,
                     block_shape: tuple[int, int] | None = (32, 32),
                     sublane_windows: bool = False,
                     split_window: bool = True,
@@ -953,7 +954,7 @@ def march_pallas_v2_sorted(o: jax.Array, d: jax.Array, accel: PackedMorton,
                            dims: tuple[int, int, int], max_steps: int,
                            t_max: jax.Array | None = None,
                            image_shape: tuple[int, int] | None = None,
-                           window: int = 1024,
+                           window: int = 512,
                            block_shape: tuple[int, int] | None = (32, 32),
                            round0_iters: int = 24,
                            survivor_frac: int = 8,

@@ -65,8 +65,9 @@ def mask_all_ones(dims, scale: int = 4) -> jax.Array:
 
 def mask_at(mask: jax.Array, scale: int, p: jax.Array) -> jax.Array:
     """Nearest-cell mask value (0/1 float) at world points p [..., 3].
-    Out-of-grid points read 0 (clip is safe: callers only evaluate inside
-    the AABB where clip is a no-op)."""
+    Out-of-grid points CLAMP to the nearest border cell (and read its
+    value) — callers only evaluate inside the AABB, where the clamp is a
+    no-op; do not rely on this reading zero beyond the grid."""
     md = jnp.asarray(mask.shape, jnp.int32)
     ci = jnp.clip(jnp.floor(p / scale).astype(jnp.int32), 0, md - 1)
     Xc, Yc, Zc = mask.shape

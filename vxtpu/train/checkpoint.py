@@ -57,12 +57,27 @@ def save_checkpoint(path: str, soft: SoftGrid, cam: Camera, step: int,
     os.replace(tmp, path)
 
 
+def _migrate_rgb_layout(rgb):
+    """SoftGrid.rgb_raw moved from [X,Y,Z,3] to channel-major [3,X,Y,Z]
+    (TPU minor-dim tile padding — see render/soft.SoftGrid). Migrate old
+    checkpoints transparently; reject ambiguous shapes loudly."""
+    if rgb.ndim == 4 and rgb.shape[0] == 3 and rgb.shape[-1] != 3:
+        return rgb
+    if rgb.ndim == 4 and rgb.shape[-1] == 3 and rgb.shape[0] != 3:
+        return jnp.transpose(rgb, (3, 0, 1, 2))
+    if rgb.ndim == 4 and rgb.shape[0] == 3 and rgb.shape[-1] == 3:
+        raise ValueError(
+            "ambiguous rgb_raw checkpoint shape %r: cannot infer layout"
+            % (rgb.shape,))
+    return rgb
+
+
 def load_checkpoint(path: str):
     """Returns (soft, cam, step, extra)."""
     with np.load(path) as z:
         soft = SoftGrid(
             sigma_raw=jnp.asarray(z["sigma_raw"]),
-            rgb_raw=jnp.asarray(z["rgb_raw"]),
+            rgb_raw=_migrate_rgb_layout(jnp.asarray(z["rgb_raw"])),
         )
         cam = Camera(
             pos=jnp.asarray(z["cam_pos"]),
