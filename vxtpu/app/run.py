@@ -388,15 +388,34 @@ def cmd_bench(args) -> int:
     dims = (args.dims,) * 3 if args.dims else cfg.dims
     h = args.height or cfg.height
     w = args.width or cfg.width
-    grid, accel, cam, lights = _build_scene(cfg, dims, args.accel)
-    factory = _kernel_factory(args.kernel, image_shape=(h, w))
+    fused = args.kernel == "fused"
+    grid, accel, cam, lights = _build_scene(
+        cfg, dims, "none" if fused else args.accel)
     sink = MetricsSink()
+    if fused:
+        from vxtpu.render.fused import render_frame_fused
+        from vxtpu.world.packed import (build_material_morton,
+                                        build_packed_morton)
 
-    @jax.jit
-    def frame(g, a, eps):
-        c = cam.replace(yaw=cam.yaw + eps * 1e-6)
-        img = render_image(factory, g, c, lights, cfg.settings, h, w, a)
-        return img, jnp.mean(img)
+        m_accel = build_packed_morton(grid.occupancy, cap=64)
+        m_mats = build_material_morton(grid.occupancy)
+
+        @jax.jit
+        def frame(words, mw, eps):
+            c = cam.replace(yaw=cam.yaw + eps * 1e-6)
+            img = render_frame_fused(type(m_accel)(words=words), mw, dims,
+                                     c, lights, cfg.settings, h, w)
+            return img, jnp.mean(img)
+
+        grid, accel = m_accel.words, m_mats
+    else:
+        factory = _kernel_factory(args.kernel, image_shape=(h, w))
+
+        @jax.jit
+        def frame(g, a, eps):
+            c = cam.replace(yaw=cam.yaw + eps * 1e-6)
+            img = render_image(factory, g, c, lights, cfg.settings, h, w, a)
+            return img, jnp.mean(img)
 
     prof = (jax.profiler.trace(args.profile)
             if args.profile else contextlib.nullcontext())
