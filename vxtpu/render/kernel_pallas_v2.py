@@ -112,6 +112,55 @@ def _lookup_window(win, row_rel, lane, W, dtype=jnp.bfloat16):
     return jnp.transpose(jnp.concatenate(cols, axis=1))  # [8,128] f32
 
 
+def _lookup_window_v4(win, row_rel, lane, W, dtype=jnp.bfloat16):
+    """Round-5 reformulation of _lookup_window: same math, ~5 vector ops.
+
+    The r4 form was op-issue-bound (~36 vector ops/fetch, window-size
+    independent — tools/probe_pallas2_fixed_out.json); this one builds the
+    row one-hot with ONE 3-D broadcast compare (rank-2 iota against
+    row_rel[:, :, None] — no transposes, no concats: the round-4 flat
+    attempt died on a Mosaic [128,1]->[1024,1] concat, which this
+    formulation never creates) and the leading-dim reshape [8,128,W] ->
+    [1024,W] is layout-trivial (minor dim unchanged). The lane select is
+    one broadcast compare + mul, reduced by a [1024,128]@[128,1] MXU
+    matmul whose [1024,1]->[8,128] reshape measured cheapest of the probed
+    reduce forms (tools/probe_r5_fetch2_out.json: ex_matmul). Measured
+    2.37 -> 1.92 us/iter at the flagship probe shape (full_v4_w128)."""
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                 else None)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (8, 128, W), 2)
+    oh = (iota_w == row_rel[:, :, None]).astype(dtype).reshape(1024, W)
+    g = jnp.dot(oh, win.astype(dtype), preferred_element_type=jnp.float32,
+                precision=precision)
+    g3 = g.reshape(8, 128, 128)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
+    sel = (iota_l == lane[:, :, None]).astype(jnp.float32)
+    gm = (g3 * sel).reshape(1024, 128)
+    out = jnp.dot(gm, jnp.ones((128, 1), jnp.float32),
+                  preferred_element_type=jnp.float32)
+    return out.reshape(8, 128)
+
+
+def _lookup_window_v4b(win, row_rel, lane, W, dtype=jnp.bfloat16):
+    """Hybrid probe variant: v4's one-compare 3-D one-hot build + r4's
+    narrow per-sublane-column lane extraction (small live footprint)."""
+    precision = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                 else None)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (8, 128, W), 2)
+    oh = (iota_w == row_rel[:, :, None]).astype(dtype).reshape(1024, W)
+    g_all = jnp.dot(oh, win.astype(dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+    lt = jnp.transpose(lane)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    cols = []
+    for c in range(8):
+        laneoh = (iota_l == lt[:, c:c + 1]).astype(jnp.float32)
+        g = g_all[c * 128:(c + 1) * 128]
+        cols.append(jnp.sum(g * laneoh, axis=1, keepdims=True))
+    return jnp.transpose(jnp.concatenate(cols, axis=1))
+
+
 def _lookup_window_split(win1, win2, rel, cov1, lane, Wh,
                          dtype=jnp.bfloat16):
     """Two-segment variant of _lookup_window WITHOUT the [W,128] concat
@@ -367,7 +416,9 @@ def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, mwin_ref, msem,
 def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                   split_window=False, split_matmul2=False,
                   local_advance=True, resume=False, iter_budget=None,
-                  unroll=1, shade_spec=None):
+                  unroll=1, shade_spec=None, fetch_v4=True):
+    lookup = {True: _lookup_window_v4, False: _lookup_window,
+              "v4b": _lookup_window_v4b}[fetch_v4]
     refs = list(refs)
     if resume:
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
@@ -639,8 +690,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                                        tbl_ref[pl.ds(base2, Wh), :]],
                                       axis=0)
                 row_rel = jnp.where(cov1, r1, Wh + r2)
-                wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1),
-                                    lane, W)
+                wv = lookup(win, jnp.clip(row_rel, 0, W - 1), lane, W)
         else:
             base = jnp.min(jnp.where(need_f, row, rows - 1))
             base = jnp.minimum(base, rows - W)
@@ -649,7 +699,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
             in_win = (row_rel >= 0) & (row_rel < W)
             fetch = need_f & in_win                  # progress this iter
             win = tbl_ref[pl.ds(base, W), :]
-            wv = _lookup_window(win, jnp.clip(row_rel, 0, W - 1), lane, W)
+            wv = lookup(win, jnp.clip(row_rel, 0, W - 1), lane, W)
         # signed bf16 encoding (world/packed.py): >0 -> child bits of an
         # occupied cell; <0 -> -D empty-space jump radius
         ncb = jnp.maximum(wv, 0.0).astype(jnp.int32)
@@ -790,6 +840,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     unroll: int = 2,
                     split_matmul2: bool = False,
                     local_advance: bool = True,
+                    fetch_v4: bool = True,
                     shade_spec: ShadeSpec | None = None,
                     mats: jax.Array | None = None,
                     lights_arr: jax.Array | None = None,
@@ -883,7 +934,8 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                              split_matmul2=split_matmul2,
                              local_advance=local_advance,
                              resume=resume, iter_budget=iter_budget,
-                             unroll=unroll, shade_spec=shade_spec)
+                             unroll=unroll, shade_spec=shade_spec,
+                             fetch_v4=fetch_v4)
     table_bytes = rows * 128 * accel.words.dtype.itemsize
     in_specs = [ray_spec] * len(chans) + [tbl_spec]
     inputs = list(chans) + [accel.words]
@@ -1058,7 +1110,8 @@ def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
                              sublane_windows=sublane_windows,
                              split_window=split_window,
                              split_matmul2=tn.split_matmul2,
-                             local_advance=tn.local_advance, unroll=unroll,
+                             local_advance=tn.local_advance,
+                             fetch_v4=tn.fetch_v4, unroll=unroll,
                              interpret=interpret)
 
 

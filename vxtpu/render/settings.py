@@ -32,6 +32,15 @@ class MarchTuning:
     local_advance: bool = True
     sublane_windows: bool = False
     block: tuple[int, int] | None = (32, 32)
+    # round-5 fetch reformulation, MEASURED AND REJECTED for the march
+    # (kept for probes): the 3-D one-hot build + matmul-reduce extraction
+    # wins in isolation (2.37 -> 1.92 us/iter, tools/probe_r5_fetch*_out)
+    # but LOSES in the real kernel (tools/probe_r5_march_out.json: 46.5 ms
+    # r4 form vs 98-100 ms v4, 61 ms v4b hybrid at the flagship) — Mosaic
+    # overlaps the r4 form's eight small independent column chains with
+    # the march body, while the monolithic 3-D ops serialize. Parity-
+    # locked equal (v4_parity: 0 mismatches on device).
+    fetch_v4: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
