@@ -123,3 +123,38 @@ def test_material_table_roundtrip():
                     ci = (a << 2) | (b << 1) | c
                     want = min(int(occ[2 * x + a, 2 * y + b, 2 * z + c]), 7)
                     assert (w >> (3 * ci)) & 7 == want
+
+
+def test_inkernel_shadows_match_composed():
+    """The in-kernel shadow pass (second DDA loop inside the march kernel,
+    the reference's one-dispatch shape — SURVEY.md §4.3) must equal the
+    3-dispatch composition exactly: same marches, same shade math."""
+    import jax.numpy as jnp
+
+    from vxtpu.camera.camera import Camera
+    from vxtpu.camera.rays import generate_rays
+    from vxtpu.render.fused import render_rays_fused
+    from vxtpu.render.settings import MarchTuning, RenderSettings
+    from vxtpu.world import procgen
+    from vxtpu.world.lights import Lights
+    from vxtpu.world.packed import (build_material_morton,
+                                    build_packed_morton)
+
+    D = 32
+    g = procgen.terrain((D, D, D), seed=3)
+    accel = build_packed_morton(g.occupancy)
+    mats = build_material_morton(g.occupancy)
+    cam = Camera.make(pos=(-20.0, 16.0, 36.0),
+                      fov_y_deg=55.0).look_at((16.0, 16.0, 8.0))
+    lights = Lights.make([(5.0, -10.0, 45.0), (40.0, 30.0, 50.0)],
+                         [(1.0, 0.9, 0.8), (0.4, 0.5, 1.0)], [2.0, 1.0])
+    settings = RenderSettings(shading="full", shadows=True, fog=True,
+                              tuning=MarchTuning(window=64))
+    o, d = generate_rays(cam, 32, 64)
+    rgb_a, _ = render_rays_fused(o, d, accel, mats, (D, D, D), lights,
+                                 settings, image_shape=(32, 64),
+                                 inkernel_shadows=True, interpret=True)
+    rgb_b, _ = render_rays_fused(o, d, accel, mats, (D, D, D), lights,
+                                 settings, image_shape=(32, 64),
+                                 inkernel_shadows=False, interpret=True)
+    assert jnp.max(jnp.abs(rgb_a - rgb_b)) < 1e-5

@@ -1,0 +1,134 @@
+"""Round-5 device probe: the Pallas field-sampling train path
+(render/kernel_sample.py + soft_pallas.py) at the judged shapes.
+
+  device_exact       on-device sample_fields_fwd vs XLA trilinear (the
+                     3-split bf16 fetch's real-silicon error)
+  train_field_w{32,64,128}  full sharded train step (128^3, 256^2 rays,
+                     S=64, lit, camera-opt) via make_sharded_train_step
+                     (field_kernel=True) — vs r4's train_step_b1 4113 ms
+  train_field_512    512^3, S=32 — VERDICT r4 target: under ~4 s
+
+Writes tools/probe_r5_train_out.json incrementally.
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_r5_train.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vxtpu.engine.platform import enable_compilation_cache
+
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+
+from vxtpu.camera.camera import Camera
+from vxtpu.engine.sharding import (camera_frame_rays, make_mesh,
+                                   make_sharded_train_step,
+                                   render_soft_image_sharded)
+from vxtpu.render.kernel_sample import build_field_morton, sample_fields_fwd
+from vxtpu.render.settings import RenderSettings
+from vxtpu.render.soft import SoftGrid, trilinear
+from vxtpu.render.soft_pallas import MortonSoftGrid
+from vxtpu.world import procgen
+from vxtpu.world.lights import Lights
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "probe_r5_train_out.json")
+RES = {}
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        RES = json.load(f)
+
+
+def save(name, entry):
+    RES[name] = entry
+    with open(OUT, "w") as f:
+        json.dump(RES, f, indent=1)
+    print(name, entry, flush=True)
+
+
+def device_exact():
+    if "device_exact" in RES:
+        return
+    D = 64
+    fields = [jax.random.normal(jax.random.PRNGKey(i), (D, D, D))
+              for i in range(4)]
+    tabs = tuple(build_field_morton(f) for f in fields)
+    n, S = 2048, 8
+    o = jax.random.uniform(jax.random.PRNGKey(10), (n, 3)) * D * 0.5
+    d = jax.random.normal(jax.random.PRNGKey(11), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t0 = jax.random.uniform(jax.random.PRNGKey(12), (n,)) * 4
+    dt = jax.random.uniform(jax.random.PRNGKey(13), (n,)) * 2
+
+    out = sample_fields_fwd(tabs, o, d, t0, dt, S, D, lit=True, window=64)
+    s_idx = jnp.arange(S) + 0.5
+    t_s = t0[None, :] + dt[None, :] * s_idx[:, None]
+    p = o[None, :, :] + t_s[..., None] * d[None, :, :]
+    errs = {}
+    for c in range(4):
+        ref = trilinear(fields[c], p, (D, D, D))
+        errs[f"chan{c}"] = float(jnp.max(jnp.abs(out[c] - ref)))
+    save("device_exact", dict(**errs, n_samples=n * S))
+
+
+def train_shape(name, dims, samples, window, steps_timed=2):
+    if name in RES:
+        return
+    H = W = 256
+    settings = RenderSettings(shading="lambert")
+    lights = Lights.single((dims[0] * 0.2, -dims[1] * 0.3, dims[2] * 1.4),
+                           intensity=2.0)
+    mesh = make_mesh(1)
+    # with_rgb only at small dims: a [X,Y,Z,3] grid tile-pads its minor
+    # dim 3->128 on TPU (64 GB at 512^3 — the r4 layout trap)
+    truth = SoftGrid.from_hard(
+        procgen.terrain(dims, seed=7, with_rgb=dims[0] <= 128),
+        sigma_solid=25.0)
+    cam = Camera.make(
+        pos=(-dims[0] * 0.7, dims[1] * 0.5, dims[2] * 1.1),
+        fov_y_deg=55.0).look_at(
+        (dims[0] * 0.5, dims[1] * 0.5, dims[2] * 0.27))
+    target = render_soft_image_sharded(truth, cam, settings, H, W,
+                                       samples, mesh,
+                                       lights=lights).reshape(-1, 3)
+    o_c, d_c = camera_frame_rays(cam, H, W)
+    msoft = MortonSoftGrid.from_soft(SoftGrid.zeros(dims))
+    del truth
+
+    init_fn, step_fn = make_sharded_train_step(
+        settings, samples, mesh, optimize_camera=True, grad_buckets=1,
+        lights=lights, field_kernel=True, field_window=window,
+        field_image_shape=(H, W))
+    opt_state = init_fn(msoft, cam)
+    c = cam
+    t0 = time.perf_counter()
+    s2, c, opt_state, loss = step_fn(msoft, c, opt_state, o_c, d_c, target)
+    jax.block_until_ready(s2)
+    compile_s = time.perf_counter() - t0
+    l0 = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps_timed):
+        s2, c, opt_state, loss = step_fn(s2, c, opt_state, o_c, d_c, target)
+        jax.block_until_ready(s2)
+    lf = float(loss)
+    dt = (time.perf_counter() - t0) / steps_timed
+    save(name, dict(ms=round(dt * 1e3, 1), compile_s=round(compile_s, 1),
+                    dims=list(dims), rays=H * W, samples=samples,
+                    window=window, lit=True, loss0=l0, loss=lf))
+
+
+def main():
+    device_exact()
+    train_shape("train_field_blk_w64", (128, 128, 128), 64, 64)
+    train_shape("train_field_blk_w128", (128, 128, 128), 64, 128)
+    train_shape("train_field_blk_512", (512, 512, 512), 32, 64)
+
+
+if __name__ == "__main__":
+    main()

@@ -156,7 +156,11 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
                             grad_buckets: int = 1,
                             optimizer=None, cam_optimizer=None,
                             lights=None, use_custom_vjp: bool = False,
-                            use_mask: bool = False, mask_scale: int = 4):
+                            use_mask: bool = False, mask_scale: int = 4,
+                            field_kernel: bool = False,
+                            field_window: int = 64,
+                            field_image_shape: tuple[int, int] | None = None,
+                            field_interpret: bool = False):
     """Jitted SPMD training step for config 5: rays sharded, grid replicated,
     grads psum'd over ICI, identical adam update on every device.
 
@@ -200,7 +204,7 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
     opt = optimizer if optimizer is not None else optax.adam(lr)
     cam_opt = cam_optimizer if cam_optimizer is not None else optax.adam(cam_lr)
 
-    def init_fn(soft: SoftGrid, cam: Camera):
+    def init_fn(soft, cam: Camera):
         return (opt.init(soft), cam_opt.init(cam) if optimize_camera else None)
 
     def _local_loss(soft, cam_p, o_s, d_s, tgt_s, n_total, mask=None,
@@ -211,6 +215,23 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
         # we store per-ray *pixel* dirs in camera frame instead. Simpler:
         # the caller passes camera-frame ray dirs; rotate here.
         o_world, d_world = _world_rays(cam_p, o_s, d_s)
+        if field_kernel:
+            # Pallas field-sampling path (render/soft_pallas.py): ``soft``
+            # is a MortonSoftGrid; the gather/scatter kernel pair runs
+            # INSIDE the shard_map body on each device's ray shard (the
+            # contract's "Pallas kernel under ray sharding" composition).
+            from vxtpu.render.soft_pallas import render_soft_rays_pallas
+
+            ishape = field_image_shape
+            if ishape is not None and (ishape[0] * ishape[1]
+                                       != o_world.shape[0]):
+                ishape = None      # microbatched/sharded slice: flat tiles
+            pred = render_soft_rays_pallas(
+                soft, o_world, d_world, settings, num_samples,
+                lights=lights, mask=mask, mask_scale=mask_scale,
+                seg_bounds=bounds, window=field_window,
+                image_shape=ishape, interpret=field_interpret)
+            return jnp.sum((pred - tgt_s) ** 2) / (n_total * 3.0)
         if use_custom_vjp:
             from vxtpu.render.vjp import render_soft_rays_fast
 

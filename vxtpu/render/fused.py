@@ -32,8 +32,15 @@ from vxtpu.world.lights import Lights
 
 def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
                       settings: RenderSettings, image_shape=None,
+                      inkernel_shadows: bool = True,
                       interpret: bool = False):
-    """Rays [N,3] -> (rgb [N,3], HitRecord), everything in-kernel."""
+    """Rays [N,3] -> (rgb [N,3], HitRecord), everything in-kernel.
+
+    inkernel_shadows=True (default) runs the per-light shadow marches as
+    a second DDA loop INSIDE the march kernel — the reference's
+    one-dispatch shape (SURVEY.md §4.3). False keeps the 3-dispatch
+    composition (primary march -> per-light shadow kernels -> shade
+    kernel), retained as the parity oracle for the in-kernel path."""
     tn = settings.tuning
     max_steps = settings.resolve_max_steps(dims)
     lights_arr = pack_lights(lights)
@@ -45,8 +52,9 @@ def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
               interpret=interpret)
     shadowed = (settings.shadows and settings.shading != "flat"
                 and lights.count > 0)
-    if not shadowed:
-        spec = ShadeSpec.from_settings(settings, lights, use_vis=False)
+    if not shadowed or inkernel_shadows:
+        spec = ShadeSpec.from_settings(settings, lights, use_vis=False,
+                                       shadows=shadowed)
         rec, rgb = march_pallas_v2(o, d, accel, dims, max_steps,
                                    shade_spec=spec, mats=mats,
                                    lights_arr=lights_arr, **kw)
@@ -69,7 +77,8 @@ def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
                                t_max=tm, **kw)
         vis_cols.append(jnp.where(srec.hit & rec.hit, 0.0, 1.0))
     vis = jnp.stack(vis_cols, axis=-1)
-    spec = ShadeSpec.from_settings(settings, lights, use_vis=True)
+    spec = ShadeSpec.from_settings(settings, lights, use_vis=True,
+                                   shadows=False)
     rgb = shade_pallas_v2(rec, o, d, vis, mats, lights_arr, spec,
                           image_shape=image_shape, block_shape=tn.block,
                           interpret=interpret)
@@ -78,10 +87,12 @@ def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
 
 def render_frame_fused(accel, mats, dims, cam: Camera, lights: Lights,
                        settings: RenderSettings, height: int, width: int,
+                       inkernel_shadows: bool = True,
                        interpret: bool = False) -> jax.Array:
     """Full frame [H, W, 3] through the fused kernel path."""
     o, d = generate_rays(cam, height, width)
     rgb, _ = render_rays_fused(o, d, accel, mats, dims, lights, settings,
                                image_shape=(height, width),
+                               inkernel_shadows=inkernel_shadows,
                                interpret=interpret)
     return rgb.reshape(height, width, 3)

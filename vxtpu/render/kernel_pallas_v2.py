@@ -227,6 +227,7 @@ class ShadeSpec:
     """
 
     mode: str = "lambert"            # 'flat' | 'lambert' | 'full'
+    shadows: bool = False            # in-kernel per-light shadow marches
     fog: bool = False
     n_lights: int = 1
     use_vis: bool = False            # shadow-visibility input channels
@@ -241,7 +242,8 @@ class ShadeSpec:
 
     @staticmethod
     def from_settings(settings, lights, use_vis: bool = False,
-                      palette=None) -> "ShadeSpec":
+                      palette=None, shadows: bool | None = None
+                      ) -> "ShadeSpec":
         if palette is None:
             from vxtpu.world.grid import MATERIAL_RGB
 
@@ -250,9 +252,12 @@ class ShadeSpec:
                     jax.device_get(palette))
         assert len(pal) <= 8, "fused shading supports <=8 palette entries"
         pal = pal + ((0.0, 0.0, 0.0),) * (8 - len(pal))
+        if shadows is None:
+            shadows = bool(settings.shadows) and not use_vis
         return ShadeSpec(
             mode=settings.shading if settings.shading in
             ("flat", "lambert", "full") else "lambert",
+            shadows=shadows,
             fog=settings.fog, n_lights=lights.count, use_vis=use_vis,
             ambient=settings.ambient, specular_exp=settings.specular_exp,
             specular_k=settings.specular_k,
@@ -447,299 +452,310 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     t_max = tmax_ref[:]
 
-    def inv(d):
-        tiny = jnp.abs(d) < 1e-12
-        return jnp.where(tiny, BIG, 1.0 / jnp.where(tiny, 1.0, d))
+    def run_march(ox, oy, oz, dx, dy, dz, t_max, use_resume=False,
+                  active0=None):
+        # the complete windowed DDA march for one (o, d, t_max) ray
+        # set — a closure so the in-kernel shadow pass (the reference
+        # kernel's second DDA loop inside the same dispatch, SURVEY.md
+        # §4.3) reuses the march verbatim. active0 masks rays out of
+        # the march entirely (shadow rays of miss pixels).
+        def inv(d):
+            tiny = jnp.abs(d) < 1e-12
+            return jnp.where(tiny, BIG, 1.0 / jnp.where(tiny, 1.0, d))
 
-    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+        ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
 
-    # ---- slab clip against [0,X]x[0,Y]x[0,Z] (dda.ray_grid_clip)
-    def slab(o, iv, dim):
-        t0 = (0.0 - o) * iv
-        t1 = (dim - o) * iv
-        return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        # ---- slab clip against [0,X]x[0,Y]x[0,Z] (dda.ray_grid_clip)
+        def slab(o, iv, dim):
+            t0 = (0.0 - o) * iv
+            t1 = (dim - o) * iv
+            return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
 
-    nx, fx = slab(ox, ivx, float(X))
-    ny, fy = slab(oy, ivy, float(Y))
-    nz, fz = slab(oz, ivz, float(Z))
-    t_enter = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, 0.0))
-    t_exit = jnp.minimum(jnp.minimum(fx, fy), fz)
-    valid = t_enter <= t_exit
-    t_end = jnp.minimum(t_exit, t_max)
-    valid = valid & (t_enter <= t_end)
+        nx, fx = slab(ox, ivx, float(X))
+        ny, fy = slab(oy, ivy, float(Y))
+        nz, fz = slab(oz, ivz, float(Z))
+        t_enter = jnp.maximum(jnp.maximum(nx, ny), jnp.maximum(nz, 0.0))
+        t_exit = jnp.minimum(jnp.minimum(fx, fy), fz)
+        valid = t_enter <= t_exit
+        t_end = jnp.minimum(t_exit, t_max)
+        valid = valid & (t_enter <= t_end)
 
-    sgx = jnp.where(dx >= 0, 1, -1).astype(jnp.int32)
-    sgy = jnp.where(dy >= 0, 1, -1).astype(jnp.int32)
-    sgz = jnp.where(dz >= 0, 1, -1).astype(jnp.int32)
+        sgx = jnp.where(dx >= 0, 1, -1).astype(jnp.int32)
+        sgy = jnp.where(dy >= 0, 1, -1).astype(jnp.int32)
+        sgz = jnp.where(dz >= 0, 1, -1).astype(jnp.int32)
 
-    def reinit(t):
-        px = ox + (t + EPS) * dx
-        py = oy + (t + EPS) * dy
-        pz = oz + (t + EPS) * dz
-        vx = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, X - 1)
-        vy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Y - 1)
-        vz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, Z - 1)
-        inside = (
-            (px >= 0) & (px < X) & (py >= 0) & (py < Y) & (pz >= 0) & (pz < Z)
+        def reinit(t):
+            px = ox + (t + EPS) * dx
+            py = oy + (t + EPS) * dy
+            pz = oz + (t + EPS) * dz
+            vx = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, X - 1)
+            vy = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, Y - 1)
+            vz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, Z - 1)
+            inside = (
+                (px >= 0) & (px < X) & (py >= 0) & (py < Y) & (pz >= 0) & (pz < Z)
+            )
+            return vx, vy, vz, inside
+
+        # entry face: axis whose near-slab t is largest (ties -> lowest axis)
+        tn_max = jnp.maximum(jnp.maximum(nx, ny), nz)
+        eax = jnp.where(nx >= tn_max, 0, jnp.where(ny >= tn_max, 1, 2))
+        esg = jnp.where(eax == 0, sgx, jnp.where(eax == 1, sgy, sgz))
+
+        vx0, vy0, vz0, _ = reinit(t_enter)
+        zero = jnp.zeros(TILE, jnp.int32)
+        dist0 = zero
+        steps0 = zero
+        fresh0 = valid.astype(jnp.int32)
+        done0 = (~valid).astype(jnp.int32)
+        if use_resume:
+            # mid-flight restart (march_pallas_v2_sorted): the march is
+            # memoryless given (o, d, current voxel, current cell dist) — the
+            # DDA t invariants are pure functions of the voxel, so the resumed
+            # step continues EXACTLY where the capped round left off. Sentinels
+            # in the dist channel: -1 = dead slot, -2 = never-fetched (redo the
+            # entry fetch at the given voxel; entry t/axis from the slab clip
+            # stays correct because o, d are unchanged).
+            rd = rdist_ref[:]
+            dead = rd == -1
+            freshr = rd == -2
+            vx0 = jnp.clip(rvx_ref[:], 0, X - 1)
+            vy0 = jnp.clip(rvy_ref[:], 0, Y - 1)
+            vz0 = jnp.clip(rvz_ref[:], 0, Z - 1)
+            dist0 = jnp.maximum(rd, 0)
+            steps0 = rsteps_ref[:]   # total-step continuity across rounds
+            done0 = ((~valid) | dead).astype(jnp.int32)
+            fresh0 = (valid & freshr & (~dead)).astype(jnp.int32)
+        # flags ride the while_loop carry as int32 (i1 vector carries trip a
+        # Mosaic "unsupported target bitwidth" on this toolchain)
+        # cbok: the cb carry holds the CURRENT cell's child bits (resume-round
+        # rays start with an unknown cb -> 0 until their first fetch; fresh
+        # rays are excluded from the local-advance path anyway)
+        cbok0 = zero if use_resume else jnp.ones(TILE, jnp.int32)
+        if active0 is not None:
+            done0 = done0 | (~active0).astype(jnp.int32)
+            fresh0 = fresh0 * active0.astype(jnp.int32)
+        state = (
+            vx0, vy0, vz0,                                   # current voxel
+            zero, dist0,                                     # cb, dist
+            zero,                                            # hit
+            jnp.full(TILE, BIG_T, jnp.float32),              # t_hit
+            zero, zero,                                      # hit axis / sign
+            steps0,                                          # steps
+            done0,                                           # done
+            fresh0,                                          # fresh (entry fetch)
+            cbok0,                                           # cb valid
+            jnp.int32(0),                                    # iter
         )
-        return vx, vy, vz, inside
+        # stalls consume iterations without consuming step budget; every
+        # iteration the min-row ray progresses, so this bound is unreachable in
+        # practice (the all-done early exit fires first) but guarantees
+        # termination even under full serialization. iter_budget deliberately
+        # undercuts it: the sorted multi-round driver resumes survivors.
+        iter_cap = jnp.int32(max_steps * 8 + TILE_RAYS)
+        if iter_budget is not None:
+            iter_cap = jnp.int32(min(iter_budget, max_steps * 8 + TILE_RAYS))
 
-    # entry face: axis whose near-slab t is largest (ties -> lowest axis)
-    tn_max = jnp.maximum(jnp.maximum(nx, ny), nz)
-    eax = jnp.where(nx >= tn_max, 0, jnp.where(ny >= tn_max, 1, 2))
-    esg = jnp.where(eax == 0, sgx, jnp.where(eax == 1, sgy, sgz))
+        def cond(s):
+            done, it = s[10], s[13]
+            return (it < iter_cap) & (jnp.min(done) == 0)
 
-    vx0, vy0, vz0, _ = reinit(t_enter)
-    zero = jnp.zeros(TILE, jnp.int32)
-    dist0 = zero
-    steps0 = zero
-    fresh0 = valid.astype(jnp.int32)
-    done0 = (~valid).astype(jnp.int32)
-    if resume:
-        # mid-flight restart (march_pallas_v2_sorted): the march is
-        # memoryless given (o, d, current voxel, current cell dist) — the
-        # DDA t invariants are pure functions of the voxel, so the resumed
-        # step continues EXACTLY where the capped round left off. Sentinels
-        # in the dist channel: -1 = dead slot, -2 = never-fetched (redo the
-        # entry fetch at the given voxel; entry t/axis from the slab clip
-        # stays correct because o, d are unchanged).
-        rd = rdist_ref[:]
-        dead = rd == -1
-        freshr = rd == -2
-        vx0 = jnp.clip(rvx_ref[:], 0, X - 1)
-        vy0 = jnp.clip(rvy_ref[:], 0, Y - 1)
-        vz0 = jnp.clip(rvz_ref[:], 0, Z - 1)
-        dist0 = jnp.maximum(rd, 0)
-        steps0 = rsteps_ref[:]   # total-step continuity across rounds
-        done0 = ((~valid) | dead).astype(jnp.int32)
-        fresh0 = (valid & freshr & (~dead)).astype(jnp.int32)
-    # flags ride the while_loop carry as int32 (i1 vector carries trip a
-    # Mosaic "unsupported target bitwidth" on this toolchain)
-    # cbok: the cb carry holds the CURRENT cell's child bits (resume-round
-    # rays start with an unknown cb -> 0 until their first fetch; fresh
-    # rays are excluded from the local-advance path anyway)
-    cbok0 = zero if resume else jnp.ones(TILE, jnp.int32)
-    state = (
-        vx0, vy0, vz0,                                   # current voxel
-        zero, dist0,                                     # cb, dist
-        zero,                                            # hit
-        jnp.full(TILE, BIG_T, jnp.float32),              # t_hit
-        zero, zero,                                      # hit axis / sign
-        steps0,                                          # steps
-        done0,                                           # done
-        fresh0,                                          # fresh (entry fetch)
-        cbok0,                                           # cb valid
-        jnp.int32(0),                                    # iter
-    )
-    # stalls consume iterations without consuming step budget; every
-    # iteration the min-row ray progresses, so this bound is unreachable in
-    # practice (the all-done early exit fires first) but guarantees
-    # termination even under full serialization. iter_budget deliberately
-    # undercuts it: the sorted multi-round driver resumes survivors.
-    iter_cap = jnp.int32(max_steps * 8 + TILE_RAYS)
-    if iter_budget is not None:
-        iter_cap = jnp.int32(min(iter_budget, max_steps * 8 + TILE_RAYS))
+        def body(s):
+            (vx, vy, vz, cb, dist, hit, t_hit, rax, rsg, steps, done, fresh,
+             cbok, it) = s
+            active = done == 0
+            freshb = fresh == 1
 
-    def cond(s):
-        done, it = s[10], s[13]
-        return (it < iter_cap) & (jnp.min(done) == 0)
+            # --- non-fresh target: empty-box jump (D>=1) or fine DDA step
+            cxf = (vx >> 1).astype(jnp.float32)
+            cyf = (vy >> 1).astype(jnp.float32)
+            czf = (vz >> 1).astype(jnp.float32)
+            df = dist.astype(jnp.float32)
+            big_jump = dist > 0
 
-    def body(s):
-        (vx, vy, vz, cb, dist, hit, t_hit, rax, rsg, steps, done, fresh,
-         cbok, it) = s
-        active = done == 0
-        freshb = fresh == 1
+            def axis_t(vf, cf, o, d, iv):
+                lo = jnp.where(big_jump, 2.0 * cf - 2.0 * (df - 1.0), vf)
+                hi = jnp.where(big_jump, 2.0 * cf + 2.0 * df, vf + 1.0)
+                bound = jnp.where(d >= 0, hi, lo)
+                t = (bound - o) * iv
+                return jnp.where(jnp.abs(d) < 1e-12, BIG, t)
 
-        # --- non-fresh target: empty-box jump (D>=1) or fine DDA step
-        cxf = (vx >> 1).astype(jnp.float32)
-        cyf = (vy >> 1).astype(jnp.float32)
-        czf = (vz >> 1).astype(jnp.float32)
-        df = dist.astype(jnp.float32)
-        big_jump = dist > 0
+            tx = axis_t(vx.astype(jnp.float32), cxf, ox, dx, ivx)
+            ty = axis_t(vy.astype(jnp.float32), cyf, oy, dy, ivy)
+            tz = axis_t(vz.astype(jnp.float32), czf, oz, dz, ivz)
+            t_new = jnp.minimum(jnp.minimum(tx, ty), tz)
+            mx = (tx <= ty) & (tx <= tz)
+            my = ~mx & (ty <= tz)
+            mz = ~mx & ~my
+            ax = jnp.where(mx, 0, jnp.where(my, 1, 2))
+            sg = jnp.where(mx, sgx, jnp.where(my, sgy, sgz))
 
-        def axis_t(vf, cf, o, d, iv):
-            lo = jnp.where(big_jump, 2.0 * cf - 2.0 * (df - 1.0), vf)
-            hi = jnp.where(big_jump, 2.0 * cf + 2.0 * df, vf + 1.0)
-            bound = jnp.where(d >= 0, hi, lo)
-            t = (bound - o) * iv
-            return jnp.where(jnp.abs(d) < 1e-12, BIG, t)
+            nvx, nvy, nvz, inside = reinit(t_new)
+            # progress guard: fp rounding re-landed in the same voxel -> force a
+            # single DDA step along the crossing axis
+            stuck = (nvx == vx) & (nvy == vy) & (nvz == vz)
+            nvx = jnp.where(stuck & mx, jnp.clip(vx + sgx, 0, X - 1), nvx)
+            nvy = jnp.where(stuck & my, jnp.clip(vy + sgy, 0, Y - 1), nvy)
+            nvz = jnp.where(stuck & mz, jnp.clip(vz + sgz, 0, Z - 1), nvz)
+            fx_ = vx + sgx
+            fy_ = vy + sgy
+            fz_ = vz + sgz
+            # boolean algebra, not where-selects: Mosaic rejects vselects whose
+            # VALUE operands are i1 vectors
+            f_in = (
+                (mx & (fx_ >= 0) & (fx_ < X))
+                | (my & (fy_ >= 0) & (fy_ < Y))
+                | (mz & (fz_ >= 0) & (fz_ < Z))
+            )
+            inside = (stuck & f_in) | (~stuck & inside)
 
-        tx = axis_t(vx.astype(jnp.float32), cxf, ox, dx, ivx)
-        ty = axis_t(vy.astype(jnp.float32), cyf, oy, dy, ivy)
-        tz = axis_t(vz.astype(jnp.float32), czf, oz, dz, ivz)
-        t_new = jnp.minimum(jnp.minimum(tx, ty), tz)
-        mx = (tx <= ty) & (tx <= tz)
-        my = ~mx & (ty <= tz)
-        mz = ~mx & ~my
-        ax = jnp.where(mx, 0, jnp.where(my, 1, 2))
-        sg = jnp.where(mx, sgx, jnp.where(my, sgy, sgz))
+            # --- fresh override: target is the entry voxel itself
+            nvx = jnp.where(freshb, vx, nvx)
+            nvy = jnp.where(freshb, vy, nvy)
+            nvz = jnp.where(freshb, vz, nvz)
+            t_new = jnp.where(freshb, t_enter, t_new)
+            ax = jnp.where(freshb, eax, ax)
+            sg = jnp.where(freshb, esg, sg)
+            inside = freshb | inside
 
-        nvx, nvy, nvz, inside = reinit(t_new)
-        # progress guard: fp rounding re-landed in the same voxel -> force a
-        # single DDA step along the crossing axis
-        stuck = (nvx == vx) & (nvy == vy) & (nvz == vz)
-        nvx = jnp.where(stuck & mx, jnp.clip(vx + sgx, 0, X - 1), nvx)
-        nvy = jnp.where(stuck & my, jnp.clip(vy + sgy, 0, Y - 1), nvy)
-        nvz = jnp.where(stuck & mz, jnp.clip(vz + sgz, 0, Z - 1), nvz)
-        fx_ = vx + sgx
-        fy_ = vy + sgy
-        fz_ = vz + sgz
-        # boolean algebra, not where-selects: Mosaic rejects vselects whose
-        # VALUE operands are i1 vectors
-        f_in = (
-            (mx & (fx_ >= 0) & (fx_ < X))
-            | (my & (fy_ >= 0) & (fy_ < Y))
-            | (mz & (fz_ >= 0) & (fz_ < Z))
-        )
-        inside = (stuck & f_in) | (~stuck & inside)
+            past_end = t_new > t_end
+            terminate = active & ((~inside) | past_end)      # no fetch needed
+            need = active & inside & (~past_end)
 
-        # --- fresh override: target is the entry voxel itself
-        nvx = jnp.where(freshb, vx, nvx)
-        nvy = jnp.where(freshb, vy, nvy)
-        nvz = jnp.where(freshb, vz, nvz)
-        t_new = jnp.where(freshb, t_enter, t_new)
-        ax = jnp.where(freshb, eax, ax)
-        sg = jnp.where(freshb, esg, sg)
-        inside = freshb | inside
-
-        past_end = t_new > t_end
-        terminate = active & ((~inside) | past_end)      # no fetch needed
-        need = active & inside & (~past_end)
-
-        # --- local same-cell advance: the target voxel lies in the SAME
-        # 2x2x2 coarse cell whose child bits the cb carry already holds
-        # (dist==0 <-> the last fetched word was an occupied cell). These
-        # rays resolve their step from registers — no fetch, and no
-        # window-coverage requirement, so they advance EVERY iteration,
-        # relieving Morton-window stall pressure for free (VERDICT r3
-        # next-#2). Exactly the word a fetch would return, so semantics
-        # are unchanged (parity-locked incl. tiny windows + resume).
-        if local_advance:
-            same_cell = (((nvx >> 1) == (vx >> 1))
-                         & ((nvy >> 1) == (vy >> 1))
-                         & ((nvz >> 1) == (vz >> 1)))
-            adv_local = (need & (~freshb) & (cbok == 1) & (dist == 0)
-                         & same_cell)
-            solid_local = _childbit(cb, nvx, nvy, nvz) == 1
-            need_f = need & (~adv_local)
-        else:
-            adv_local = jnp.zeros_like(need)
-            solid_local = adv_local
-            need_f = need
-
-        # --- Morton-windowed fetch
-        widx = _morton3(nvx >> 1, nvy >> 1, nvz >> 1)
-        row = widx >> 7
-        lane = widx & 127
-        if sublane_windows:
-            # 8 independent windows, one per 128-ray sub-row: each sub-
-            # cluster is spatially tighter than the whole tile, so W can be
-            # ~8x smaller — the one-hot build and matmul shrink with it.
-            row_m = jnp.where(need_f, row, rows - 1)
-            rmt = jnp.transpose(row_m)                # [128, 8]
-            rt = jnp.transpose(row)                   # [128, 8]
-            lt = jnp.transpose(lane)                  # [128, 8]
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
-            iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-            cols, inw_cols = [], []
-            for c in range(8):
-                base_c = jnp.min(rmt[:, c:c + 1])
-                base_c = jnp.maximum(jnp.minimum(base_c, rows - W), 0)
-                rel_c = rt[:, c:c + 1] - base_c       # [128, 1]
-                inw_cols.append(((rel_c >= 0) & (rel_c < W))
-                                .astype(jnp.int32))
-                win_c = tbl_ref[pl.ds(base_c, W), :]
-                rowoh = (iota_w == jnp.clip(rel_c, 0, W - 1)).astype(
-                    jnp.bfloat16)
-                g = jnp.dot(rowoh, win_c.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-                laneoh = (iota_l == lt[:, c:c + 1]).astype(jnp.float32)
-                cols.append(jnp.sum(g * laneoh, axis=1, keepdims=True))
-            wv = jnp.transpose(jnp.concatenate(cols, axis=1))
-            in_win = jnp.transpose(jnp.concatenate(inw_cols, axis=1)) == 1
-            fetch = need_f & in_win                  # progress this iter
-        elif split_window:
-            # TWO W/2 segments: seg1 at the min needy row (progress
-            # guarantee), seg2 at the min row seg1 does NOT cover. Morton
-            # codes jump by half the range when a ray crosses a top-level
-            # octant mid-plane, so deep tiles are often BIMODAL in row
-            # space — two half-windows cover both modes where one
-            # contiguous window of the same total size cannot.
-            Wh = W // 2
-            base1 = jnp.min(jnp.where(need_f, row, rows - 1))
-            base1 = jnp.maximum(jnp.minimum(base1, rows - Wh), 0)
-            r1 = row - base1
-            cov1 = (r1 >= 0) & (r1 < Wh)
-            base2 = jnp.min(jnp.where(need_f & ~cov1, row, rows - 1))
-            base2 = jnp.maximum(jnp.minimum(base2, rows - Wh), 0)
-            r2 = row - base2
-            cov2 = (r2 >= 0) & (r2 < Wh)
-            in_win = cov1 | cov2
-            fetch = need_f & in_win                  # progress this iter
-            if split_matmul2:
-                # no [W,128] concat copy per iteration: one-hot each half
-                # against its own segment and SUM the two MXU products
-                # (rows covered by neither segment have all-zero one-hots)
-                rel = jnp.where(cov1, r1, r2)
-                wv = _lookup_window_split(
-                    tbl_ref[pl.ds(base1, Wh), :],
-                    tbl_ref[pl.ds(base2, Wh), :],
-                    jnp.clip(rel, 0, Wh - 1), cov1, lane, Wh)
+            # --- local same-cell advance: the target voxel lies in the SAME
+            # 2x2x2 coarse cell whose child bits the cb carry already holds
+            # (dist==0 <-> the last fetched word was an occupied cell). These
+            # rays resolve their step from registers — no fetch, and no
+            # window-coverage requirement, so they advance EVERY iteration,
+            # relieving Morton-window stall pressure for free (VERDICT r3
+            # next-#2). Exactly the word a fetch would return, so semantics
+            # are unchanged (parity-locked incl. tiny windows + resume).
+            if local_advance:
+                same_cell = (((nvx >> 1) == (vx >> 1))
+                             & ((nvy >> 1) == (vy >> 1))
+                             & ((nvz >> 1) == (vz >> 1)))
+                adv_local = (need & (~freshb) & (cbok == 1) & (dist == 0)
+                             & same_cell)
+                solid_local = _childbit(cb, nvx, nvy, nvz) == 1
+                need_f = need & (~adv_local)
             else:
-                win = jnp.concatenate([tbl_ref[pl.ds(base1, Wh), :],
-                                       tbl_ref[pl.ds(base2, Wh), :]],
-                                      axis=0)
-                row_rel = jnp.where(cov1, r1, Wh + r2)
+                adv_local = jnp.zeros_like(need)
+                solid_local = adv_local
+                need_f = need
+
+            # --- Morton-windowed fetch
+            widx = _morton3(nvx >> 1, nvy >> 1, nvz >> 1)
+            row = widx >> 7
+            lane = widx & 127
+            if sublane_windows:
+                # 8 independent windows, one per 128-ray sub-row: each sub-
+                # cluster is spatially tighter than the whole tile, so W can be
+                # ~8x smaller — the one-hot build and matmul shrink with it.
+                row_m = jnp.where(need_f, row, rows - 1)
+                rmt = jnp.transpose(row_m)                # [128, 8]
+                rt = jnp.transpose(row)                   # [128, 8]
+                lt = jnp.transpose(lane)                  # [128, 8]
+                iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, W), 1)
+                iota_l = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+                cols, inw_cols = [], []
+                for c in range(8):
+                    base_c = jnp.min(rmt[:, c:c + 1])
+                    base_c = jnp.maximum(jnp.minimum(base_c, rows - W), 0)
+                    rel_c = rt[:, c:c + 1] - base_c       # [128, 1]
+                    inw_cols.append(((rel_c >= 0) & (rel_c < W))
+                                    .astype(jnp.int32))
+                    win_c = tbl_ref[pl.ds(base_c, W), :]
+                    rowoh = (iota_w == jnp.clip(rel_c, 0, W - 1)).astype(
+                        jnp.bfloat16)
+                    g = jnp.dot(rowoh, win_c.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                    laneoh = (iota_l == lt[:, c:c + 1]).astype(jnp.float32)
+                    cols.append(jnp.sum(g * laneoh, axis=1, keepdims=True))
+                wv = jnp.transpose(jnp.concatenate(cols, axis=1))
+                in_win = jnp.transpose(jnp.concatenate(inw_cols, axis=1)) == 1
+                fetch = need_f & in_win                  # progress this iter
+            elif split_window:
+                # TWO W/2 segments: seg1 at the min needy row (progress
+                # guarantee), seg2 at the min row seg1 does NOT cover. Morton
+                # codes jump by half the range when a ray crosses a top-level
+                # octant mid-plane, so deep tiles are often BIMODAL in row
+                # space — two half-windows cover both modes where one
+                # contiguous window of the same total size cannot.
+                Wh = W // 2
+                base1 = jnp.min(jnp.where(need_f, row, rows - 1))
+                base1 = jnp.maximum(jnp.minimum(base1, rows - Wh), 0)
+                r1 = row - base1
+                cov1 = (r1 >= 0) & (r1 < Wh)
+                base2 = jnp.min(jnp.where(need_f & ~cov1, row, rows - 1))
+                base2 = jnp.maximum(jnp.minimum(base2, rows - Wh), 0)
+                r2 = row - base2
+                cov2 = (r2 >= 0) & (r2 < Wh)
+                in_win = cov1 | cov2
+                fetch = need_f & in_win                  # progress this iter
+                if split_matmul2:
+                    # no [W,128] concat copy per iteration: one-hot each half
+                    # against its own segment and SUM the two MXU products
+                    # (rows covered by neither segment have all-zero one-hots)
+                    rel = jnp.where(cov1, r1, r2)
+                    wv = _lookup_window_split(
+                        tbl_ref[pl.ds(base1, Wh), :],
+                        tbl_ref[pl.ds(base2, Wh), :],
+                        jnp.clip(rel, 0, Wh - 1), cov1, lane, Wh)
+                else:
+                    win = jnp.concatenate([tbl_ref[pl.ds(base1, Wh), :],
+                                           tbl_ref[pl.ds(base2, Wh), :]],
+                                          axis=0)
+                    row_rel = jnp.where(cov1, r1, Wh + r2)
+                    wv = lookup(win, jnp.clip(row_rel, 0, W - 1), lane, W)
+            else:
+                base = jnp.min(jnp.where(need_f, row, rows - 1))
+                base = jnp.minimum(base, rows - W)
+                base = jnp.maximum(base, 0)
+                row_rel = row - base
+                in_win = (row_rel >= 0) & (row_rel < W)
+                fetch = need_f & in_win                  # progress this iter
+                win = tbl_ref[pl.ds(base, W), :]
                 wv = lookup(win, jnp.clip(row_rel, 0, W - 1), lane, W)
-        else:
-            base = jnp.min(jnp.where(need_f, row, rows - 1))
-            base = jnp.minimum(base, rows - W)
-            base = jnp.maximum(base, 0)
-            row_rel = row - base
-            in_win = (row_rel >= 0) & (row_rel < W)
-            fetch = need_f & in_win                  # progress this iter
-            win = tbl_ref[pl.ds(base, W), :]
-            wv = lookup(win, jnp.clip(row_rel, 0, W - 1), lane, W)
-        # signed bf16 encoding (world/packed.py): >0 -> child bits of an
-        # occupied cell; <0 -> -D empty-space jump radius
-        ncb = jnp.maximum(wv, 0.0).astype(jnp.int32)
-        ndist = jnp.maximum(-wv, 0.0).astype(jnp.int32)
-        solid = _childbit(ncb, nvx, nvy, nvz) == 1
+            # signed bf16 encoding (world/packed.py): >0 -> child bits of an
+            # occupied cell; <0 -> -D empty-space jump radius
+            ncb = jnp.maximum(wv, 0.0).astype(jnp.int32)
+            ndist = jnp.maximum(-wv, 0.0).astype(jnp.int32)
+            solid = _childbit(ncb, nvx, nvy, nvz) == 1
 
-        new_hit = (fetch & solid) | (adv_local & solid_local)
-        newly_done = new_hit | terminate
-        adv = fetch | adv_local
-        upd = adv | terminate
+            new_hit = (fetch & solid) | (adv_local & solid_local)
+            newly_done = new_hit | terminate
+            adv = fetch | adv_local
+            upd = adv | terminate
 
-        sel = lambda c, a, b: jnp.where(c, a, b)
-        return (
-            sel(adv, nvx, vx), sel(adv, nvy, vy), sel(adv, nvz, vz),
-            sel(fetch, ncb, cb), sel(fetch, ndist, dist),
-            hit | new_hit.astype(jnp.int32),
-            sel(new_hit, t_new, t_hit),
-            sel(new_hit, ax, rax),
-            sel(new_hit, sg, rsg),
-            steps + (adv & ~freshb).astype(jnp.int32),
-            done | newly_done.astype(jnp.int32),
-            fresh & (~upd).astype(jnp.int32),
-            cbok | fetch.astype(jnp.int32),
-            it + 1,
-        )
+            sel = lambda c, a, b: jnp.where(c, a, b)
+            return (
+                sel(adv, nvx, vx), sel(adv, nvy, vy), sel(adv, nvz, vz),
+                sel(fetch, ncb, cb), sel(fetch, ndist, dist),
+                hit | new_hit.astype(jnp.int32),
+                sel(new_hit, t_new, t_hit),
+                sel(new_hit, ax, rax),
+                sel(new_hit, sg, rsg),
+                steps + (adv & ~freshb).astype(jnp.int32),
+                done | newly_done.astype(jnp.int32),
+                fresh & (~upd).astype(jnp.int32),
+                cbok | fetch.astype(jnp.int32),
+                it + 1,
+            )
 
-    if unroll > 1:
-        # fewer loop boundaries: the measured per-iteration cost is largely
-        # W-independent fixed overhead (tools/probe_pallas2_fixed_out.json)
-        # — unrolling amortizes the cond sync / scalar pipeline flush over
-        # several march steps. Pure repetition of the same masked body, so
-        # semantics are unchanged (done rays are inert).
-        inner = body
+        if unroll > 1:
+            # fewer loop boundaries: the measured per-iteration cost is largely
+            # W-independent fixed overhead (tools/probe_pallas2_fixed_out.json)
+            # — unrolling amortizes the cond sync / scalar pipeline flush over
+            # several march steps. Pure repetition of the same masked body, so
+            # semantics are unchanged (done rays are inert).
+            inner = body
 
-        def body(s):  # noqa: F811
-            for _ in range(unroll):
-                s = inner(s)
-            return s
+            def body(s):  # noqa: F811
+                for _ in range(unroll):
+                    s = inner(s)
+                return s
 
-    s = jax.lax.while_loop(cond, body, state)
+        return jax.lax.while_loop(cond, body, state)
+    s = run_march(ox, oy, oz, dx, dy, dz, t_max, use_resume=resume)
     (vx, vy, vz, _, dist_f, hit, t_hit, rax, rsg, steps, done_f, fresh_f,
      _, it) = s
 
@@ -754,18 +770,56 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
     done_ref[:] = done_f
     # resume channel for the next round: -2 = still awaiting entry fetch
     dist_ref[:] = jnp.where(fresh_f == 1, -2, dist_f)
-    # per-tile loop-iteration count (stall accounting for the roofline
-    # model: iters - max(steps in tile) = serialization cost of windowing)
-    iters_ref[:] = jnp.full(TILE, 1, jnp.int32) * it
+    iters_total = it
 
     if shade_spec is not None:
+        vis = None
+        if (shade_spec.shadows and shade_spec.n_lights > 0
+                and shade_spec.mode != "flat"):
+            # in-kernel shadow pass — the reference's second DDA loop in
+            # the SAME dispatch (SURVEY.md §4.3): hit points nudged off
+            # the surface along the face normal, one capped march per
+            # light, identical semantics to render/fused.py's 3-dispatch
+            # composition (parity-locked in tests/test_fused_shade.py).
+            hitb = hit == 1
+            sgf = rsg.astype(jnp.float32)
+            nxv = jnp.where(hitb & (rax == 0), -sgf, 0.0)
+            nyv = jnp.where(hitb & (rax == 1), -sgf, 0.0)
+            nzv = jnp.where(hitb & (rax == 2), -sgf, 0.0)
+            t_s = jnp.where(hitb, t_hit, 0.0)
+            px = ox + t_s * dx + nxv * _SHADOW_EPS
+            py = oy + t_s * dy + nyv * _SHADOW_EPS
+            pz = oz + t_s * dz + nzv * _SHADOW_EPS
+            px = jnp.where(hitb, px, 0.0)
+            py = jnp.where(hitb, py, 0.0)
+            pz = jnp.where(hitb, pz, 0.0)
+            vis = []
+            for li in range(shade_spec.n_lights):
+                lvx = lights_ref[li, 0] - px
+                lvy = lights_ref[li, 1] - py
+                lvz = lights_ref[li, 2] - pz
+                ldist = jnp.sqrt(lvx * lvx + lvy * lvy + lvz * lvz)
+                dn = jnp.maximum(ldist, 1e-12)
+                ldx = lvx / dn
+                ldy = lvy / dn
+                ldz = lvz / dn
+                tm = jnp.where(hitb, ldist - 2.0 * _SHADOW_EPS, 0.0)
+                s2 = run_march(px, py, pz, ldx, ldy, ldz, tm,
+                               active0=hitb)
+                shit = s2[5]
+                vis.append(jnp.where((shit == 1) & hitb, 0.0, 1.0))
+                iters_total = iters_total + s2[13]
+
         r, g, b = _shade_epilogue(
             shade_spec, tbl_ref.shape[0], mat_ref, mwin_ref, msem_ref,
-            lights_ref, None,
+            lights_ref, vis,
             ox, oy, oz, dx, dy, dz, hit, t_hit, vx, vy, vz, rax, rsg)
         r_ref[:] = r
         g_ref[:] = g
         b_ref[:] = b
+    # per-tile loop-iteration count (stall accounting for the roofline
+    # model), including any in-kernel shadow marches
+    iters_ref[:] = jnp.full(TILE, 1, jnp.int32) * iters_total
 
 
 def _tile_layout(n, image_shape, block_shape):

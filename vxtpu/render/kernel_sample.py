@@ -174,20 +174,40 @@ def _dma_windows(tabs, win_ref, sem, base, Wn):
         cp.wait()
 
 
+def _dma_windows2(tabs, win_ref, sem, b1, b2, Wh):
+    """Two-segment window fill: rows [0,Wh) of the scratch hold segment 1
+    (table rows b1..b1+Wh), rows [Wh,2Wh) segment 2 — the sample-kernel
+    analog of the march kernel's split window (trilinear corner stencils
+    straddle Morton octant mid-planes, making corner rows BIMODAL; two
+    half-windows cover both modes where one contiguous window cannot)."""
+    for c, tab in enumerate(tabs):
+        for half, b in ((0, b1), (1, b2)):
+            cp = pltpu.make_async_copy(
+                tab.at[pl.ds(b, Wh), :],
+                win_ref.at[pl.ds(half * Wh, Wh),
+                           c * LANES:(c + 1) * LANES], sem)
+            cp.start()
+            cp.wait()
+
+
+def _seg_min(pends, rows, excl_base, Wh, rows_total):
+    """Min still-pending corner row, excluding rows already covered by
+    the segment at excl_base (pass a negative sentinel to exclude none)."""
+    big = jnp.int32(1 << 28)
+    m = big
+    for k in range(8):
+        rel = rows[k] - excl_base
+        cov = (rel >= 0) & (rel < Wh)
+        m = jnp.minimum(m, jnp.min(jnp.where(
+            (pends[k] == 1) & (~cov), rows[k], big)))
+    return jnp.clip(m, 0, rows_total - Wh)
+
+
 def _extract4(g, sel):
     """g [1024, 512] f32, sel [8,128,128] f32 -> per-channel [8,128]."""
     g3 = g.reshape(8, 128, NCH * LANES)
     return [jnp.sum(g3[:, :, c * LANES:(c + 1) * LANES] * sel, axis=2)
             for c in range(NCH)]
-
-
-def _fetch_state_min(pends, rows, rows_total, Wn):
-    """Scalar window base covering the min still-pending corner row."""
-    big = jnp.int32(1 << 28)
-    m = big
-    for k in range(8):
-        m = jnp.minimum(m, jnp.min(jnp.where(pends[k] == 1, rows[k], big)))
-    return jnp.clip(m, 0, rows_total - Wn)
 
 
 def _sample_fwd_kernel(*refs, S, D, Wn, lit):
@@ -196,8 +216,10 @@ def _sample_fwd_kernel(*refs, S, D, Wn, lit):
     tabs = refs[8:12]
     nout = 7 if lit else 4
     outs = refs[12:12 + nout]
-    win_ref, sem = refs[12 + nout:]
+    iters_ref = refs[12 + nout]
+    win_ref, sem = refs[13 + nout:]
     rows_total = tabs[0].shape[0]
+    Wh = Wn // 2
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -206,60 +228,78 @@ def _sample_fwd_kernel(*refs, S, D, Wn, lit):
     zf = jnp.zeros(TILE, jnp.float32)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
 
-    def sbody(s, base):
+    def sbody(s, carry):
+        b1, b2, niter = carry
         t = t0 + dt * (s.astype(jnp.float32) + 0.5)
         px = ox + t * dx
         py = oy + t * dy
         pz = oz + t * dz
         rows, lanes, fx, fy, fz = _corner_setup(px, py, pz, D)
+        # inactive rays (AABB miss / zero-length segment: dt == 0) never
+        # demand a window — without this every sample of an edge tile
+        # pays an extra fetch round for the pinned rays (measured 5.3
+        # mini-iters/sample -> the train-step blowup in
+        # tools/probe_r5_train_out.json). Their outputs stay 0 (finite);
+        # the caller masks them via `valid`.
+        act = (dt > 0).astype(jnp.int32)
 
-        st0 = (tuple(zero + 1 for _ in range(8)),
+        st0 = (tuple(act for _ in range(8)),
                tuple(tuple(zf for _ in range(8)) for _ in range(NCH)),
-               base, jnp.int32(0))
+               b1, b2, jnp.int32(0))
 
         def mcond(st):
-            pends, _, _, it = st
+            pends, _, _, _, it = st
             anyp = zero
             for k in range(8):
                 anyp = anyp | pends[k]
             return (it < 64) & (jnp.max(anyp) > 0)
 
         def mbody(st):
-            pends, vals, base, it = st
-            # move the window iff some pending corner is outside it
+            pends, vals, b1, b2, it = st
+            # move both segments iff some pending corner is outside both
             nm = jnp.int32(0)
             for k in range(8):
-                rel = rows[k] - base
-                outw = (rel < 0) | (rel >= Wn)
+                r1 = rows[k] - b1
+                r2 = rows[k] - b2
+                outw = ~(((r1 >= 0) & (r1 < Wh))
+                         | ((r2 >= 0) & (r2 < Wh)))
                 nm = jnp.maximum(nm, jnp.max(
                     pends[k] * outw.astype(jnp.int32)))
-            newbase = jnp.where(
-                nm > 0, _fetch_state_min(pends, rows, rows_total, Wn), base)
+            nb1 = jnp.where(
+                nm > 0, _seg_min(pends, rows, jnp.int32(-(1 << 28)), Wh,
+                                 rows_total), b1)
+            nb2 = jnp.where(
+                nm > 0, _seg_min(pends, rows, nb1, Wh, rows_total), b2)
 
             @pl.when(nm > 0)
             def _():
-                _dma_windows(tabs, win_ref, sem, newbase, Wn)
+                _dma_windows2(tabs, win_ref, sem, nb1, nb2, Wh)
 
             parts = _split3(win_ref[:])
             npends = []
             nvals = [list(v) for v in vals]
             for k in range(8):
-                rel = rows[k] - newbase
-                inw = (rel >= 0) & (rel < Wn)
-                take = (pends[k] == 1) & inw
-                iota_w = jax.lax.broadcasted_iota(jnp.int32, (8, 128, Wn), 2)
-                oh = (iota_w == jnp.clip(rel, 0, Wn - 1)[:, :, None]).astype(
-                    jnp.bfloat16).reshape(1024, Wn)
+                r1 = rows[k] - nb1
+                r2 = rows[k] - nb2
+                cov1 = (r1 >= 0) & (r1 < Wh)
+                cov2 = (r2 >= 0) & (r2 < Wh)
+                take = (pends[k] == 1) & (cov1 | cov2)
+                rel = jnp.where(cov1, r1, Wh + r2)
+                iota_w = jax.lax.broadcasted_iota(jnp.int32,
+                                                  (8, 128, 2 * Wh), 2)
+                oh = (iota_w == jnp.clip(rel, 0, 2 * Wh - 1)[:, :, None]
+                      ).astype(jnp.bfloat16).reshape(1024, 2 * Wh)
                 g = _mm3(oh, parts)
                 sel = (iota_l == lanes[k][:, :, None]).astype(jnp.float32)
                 cvals = _extract4(g, sel)
                 for c in range(NCH):
                     nvals[c][k] = jnp.where(take, cvals[c], vals[c][k])
                 npends.append(pends[k] & (~take).astype(jnp.int32))
-            return (tuple(npends), tuple(tuple(v) for v in nvals), newbase,
-                    it + 1)
+            return (tuple(npends), tuple(tuple(v) for v in nvals), nb1,
+                    nb2, it + 1)
 
-        _, vals, base, _ = jax.lax.while_loop(mcond, mbody, st0)
+        _, vals, b1, b2, mit = jax.lax.while_loop(mcond, mbody, st0)
+        niter = niter + mit
 
         for c in range(NCH):
             outs[c][pl.ds(s, 1)] = _lerp_ladder(
@@ -269,14 +309,18 @@ def _sample_fwd_kernel(*refs, S, D, Wn, lit):
             outs[4][pl.ds(s, 1)] = gx.reshape(1, 8, 128)
             outs[5][pl.ds(s, 1)] = gy.reshape(1, 8, 128)
             outs[6][pl.ds(s, 1)] = gz.reshape(1, 8, 128)
-        return base
+        return (b1, b2, niter)
 
-    jax.lax.fori_loop(0, S, sbody, jnp.int32(-(1 << 28)))
+    _, _, niter = jax.lax.fori_loop(
+        0, S, sbody,
+        (jnp.int32(-(1 << 28)), jnp.int32(-(1 << 28)), jnp.int32(0)))
+    # mini-loop iteration count per tile (window-thrash diagnostics)
+    iters_ref[:, :] = jnp.zeros(TILE, jnp.int32) + niter
 
 
 def sample_fields_fwd(tabs, o, d, t0, dt, S, dim, lit=False, window=64,
                       image_shape=None, block_shape=None,
-                      interpret=False):
+                      stats=False, interpret=False):
     """Forward field sampling: rays [N] x S samples -> per-sample values.
 
     tabs: (sigma, r, g, b) Morton tables [rows, 128] f32.
@@ -305,8 +349,9 @@ def sample_fields_fwd(tabs, o, d, t0, dt, S, dim, lit=False, window=64,
         functools.partial(_sample_fwd_kernel, S=S, D=dim, Wn=Wn, lit=lit),
         grid=grid,
         in_specs=[ray_spec] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=[out_spec] * nout,
-        out_shape=[jax.ShapeDtypeStruct(out_raw, jnp.float32)] * nout,
+        out_specs=[out_spec] * nout + [ray_spec],
+        out_shape=([jax.ShapeDtypeStruct(out_raw, jnp.float32)] * nout
+                   + [jax.ShapeDtypeStruct(raw_shape, jnp.int32)]),
         scratch_shapes=[pltpu.VMEM((Wn, NCH * LANES), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         compiler_params=pltpu.CompilerParams(
@@ -317,7 +362,10 @@ def sample_fields_fwd(tabs, o, d, t0, dt, S, dim, lit=False, window=64,
     def unp(x):
         return jax.vmap(unpack)(x)
 
-    return tuple(unp(x) for x in outs)
+    vals = tuple(unp(x) for x in outs[:nout])
+    if stats:
+        return vals, outs[nout]
+    return vals
 
 
 def _corner_sign_weights(fx, fy, fz):
@@ -388,6 +436,7 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
     gray = outs[4:]
     fwin_ref, gwin_ref, sem = refs[16 + nc + 12:]
     rows_total = tabs[0].shape[0]
+    Wh = Wn // 2
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -396,22 +445,34 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
     zf = jnp.zeros(TILE, jnp.float32)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
 
-    def flush(base):
+    def flush(b1, b2):
+        # The two segments MAY overlap in table space (b2 is the min
+        # UNCOVERED pending row, which can sit just below b1). Overlap is
+        # safe because of two invariants: (1) contributions for any row
+        # covered by segment 1 are accumulated ONLY into segment 1's half
+        # (cov1 takes priority in the rel select), so segment 2's overlap
+        # rows hold exactly the loaded values; (2) segment 2 is flushed
+        # FIRST, so segment 1's write — loaded values + contributions —
+        # lands last and is the correct final state for overlap rows.
         for c in range(4):
-            cp = pltpu.make_async_copy(
-                gwin_ref.at[:, c * LANES:(c + 1) * LANES],
-                gtabs[c].at[pl.ds(base, Wn), :], sem)
-            cp.start()
-            cp.wait()
+            for half, b in ((1, b2), (0, b1)):
+                cp = pltpu.make_async_copy(
+                    gwin_ref.at[pl.ds(half * Wh, Wh),
+                                c * LANES:(c + 1) * LANES],
+                    gtabs[c].at[pl.ds(b, Wh), :], sem)
+                cp.start()
+                cp.wait()
 
-    def loadw(base):
+    def loadw(b1, b2):
         for c in range(4):
-            cp = pltpu.make_async_copy(
-                gtabs[c].at[pl.ds(base, Wn), :],
-                gwin_ref.at[:, c * LANES:(c + 1) * LANES], sem)
-            cp.start()
-            cp.wait()
-        _dma_windows(tabs, fwin_ref, sem, base, Wn)
+            for half, b in ((0, b1), (1, b2)):
+                cp = pltpu.make_async_copy(
+                    gtabs[c].at[pl.ds(b, Wh), :],
+                    gwin_ref.at[pl.ds(half * Wh, Wh),
+                                c * LANES:(c + 1) * LANES], sem)
+                cp.start()
+                cp.wait()
+        _dma_windows2(tabs, fwin_ref, sem, b1, b2, Wh)
 
     def splitn(v):
         parts = []
@@ -424,8 +485,8 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
         return parts
 
     def sbody(s, carry):
-        base, have = carry[0], carry[1]
-        acc = list(carry[2:])
+        b1s, b2s, have = carry[0], carry[1], carry[2]
+        acc = list(carry[3:])
         t = t0 + dt * (s.astype(jnp.float32) + 0.5)
         px = ox + t * dx
         py = oy + t * dy
@@ -433,6 +494,7 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
         rows, lanes, fx, fy, fz = _corner_setup(px, py, pz, D)
         w8 = _corner_weights(fx, fy, fz)
 
+        act = (dt > 0).astype(jnp.int32)
         gv = [cots[c][pl.ds(s, 1)].reshape(8, 128) for c in range(nc)]
         # per-corner per-channel cotangents (independent of corner values)
         gcs = [[gv[c] * w8[k] for k in range(8)] for c in range(NCH)]
@@ -442,54 +504,64 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
                 gcs[0][k] = (gcs[0][k] + gv[4] * ds8[k][0]
                              + gv[5] * ds8[k][1] + gv[6] * ds8[k][2])
 
-        st0 = (tuple(zero + 1 for _ in range(8)),
+        st0 = (tuple(act for _ in range(8)),
                tuple(tuple(zf for _ in range(8)) for _ in range(NCH)),
-               base, have, jnp.int32(0))
+               b1s, b2s, have, jnp.int32(0))
 
         def mcond(st):
-            pends, _, _, _, it = st
+            pends, _, _, _, _, it = st
             anyp = zero
             for k in range(8):
                 anyp = anyp | pends[k]
             return (it < 64) & (jnp.max(anyp) > 0)
 
         def mbody(st):
-            pends, vals, base, have, it = st
+            pends, vals, b1, b2, have, it = st
             nm = jnp.int32(0)
             for k in range(8):
-                rel = rows[k] - base
-                outw = (rel < 0) | (rel >= Wn)
+                r1 = rows[k] - b1
+                r2 = rows[k] - b2
+                outw = ~(((r1 >= 0) & (r1 < Wh))
+                         | ((r2 >= 0) & (r2 < Wh)))
                 nm = jnp.maximum(nm, jnp.max(
                     pends[k] * outw.astype(jnp.int32)))
-            newbase = jnp.where(
-                nm > 0, _fetch_state_min(pends, rows, rows_total, Wn), base)
+            nb1 = jnp.where(
+                nm > 0, _seg_min(pends, rows, jnp.int32(-(1 << 28)), Wh,
+                                 rows_total), b1)
+            nb2 = jnp.where(
+                nm > 0, _seg_min(pends, rows, nb1, Wh, rows_total), b2)
 
             @pl.when((nm > 0) & (have == 1))
             def _():
-                flush(base)
+                flush(b1, b2)
 
             @pl.when(nm > 0)
             def _():
-                loadw(newbase)
+                loadw(nb1, nb2)
 
             parts = _split3(fwin_ref[:])
-            iota_w = jax.lax.broadcasted_iota(jnp.int32, (8, 128, Wn), 2)
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 2 * Wh),
+                                              2)
             npends = []
             nvals = [list(v) for v in vals]
             ohs = []
             sels = []
-            takes = []
             for k in range(8):
-                rel = rows[k] - newbase
-                inw = (rel >= 0) & (rel < Wn)
-                take = (pends[k] == 1) & inw
-                takes.append(take)
+                r1 = rows[k] - nb1
+                r2 = rows[k] - nb2
+                cov1 = (r1 >= 0) & (r1 < Wh)
+                cov2 = (r2 >= 0) & (r2 < Wh)
+                take = (pends[k] == 1) & (cov1 | cov2)
+                rel = jnp.where(cov1, r1, Wh + r2)
                 # take-masked one-hot: serves the value fetch (masked
                 # writes) AND the scatter (zero rows scatter nothing, and
-                # a corner scatters exactly once across mini-iterations)
-                oh = ((iota_w == rel[:, :, None])
-                      & take[:, :, None]).astype(jnp.bfloat16)
-                ohs.append(oh.reshape(1024, Wn))
+                # a corner scatters exactly once across mini-iterations).
+                # take must ride as int32: Mosaic rejects minor-dim
+                # insertion on i1 vectors ("only supported for 32-bit")
+                takei = take.astype(jnp.int32)[:, :, None]
+                oh = ((iota_w == jnp.clip(rel, 0, 2 * Wh - 1)[:, :, None])
+                      & (takei == 1)).astype(jnp.bfloat16)
+                ohs.append(oh.reshape(1024, 2 * Wh))
                 g = _mm3(ohs[-1], parts)
                 sel = (iota_l == lanes[k][:, :, None]).astype(jnp.float32)
                 sels.append(sel)
@@ -497,7 +569,7 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
                 for c in range(NCH):
                     nvals[c][k] = jnp.where(take, cvals[c], vals[c][k])
                 npends.append(pends[k] & (~take).astype(jnp.int32))
-            oh8 = jnp.concatenate(ohs, axis=0)              # [8192, Wn]
+            oh8 = jnp.concatenate(ohs, axis=0)              # [8192, 2Wh]
             for c in range(NCH):
                 spread = jnp.concatenate(
                     [(sels[k] * gcs[c][k][:, :, None]).reshape(1024, 128)
@@ -509,12 +581,12 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     delta = dd if delta.shape == (0, 128) else delta + dd
-                gwin_ref[:, c * LANES:(c + 1) * LANES] = (
-                    gwin_ref[:, c * LANES:(c + 1) * LANES] + delta)
-            return (tuple(npends), tuple(tuple(v) for v in nvals), newbase,
-                    jnp.int32(1), it + 1)
+                gwin_ref[0:2 * Wh, c * LANES:(c + 1) * LANES] = (
+                    gwin_ref[0:2 * Wh, c * LANES:(c + 1) * LANES] + delta)
+            return (tuple(npends), tuple(tuple(v) for v in nvals), nb1,
+                    nb2, jnp.int32(1), it + 1)
 
-        _, vals, base, have, _ = jax.lax.while_loop(mcond, mbody, st0)
+        _, vals, b1s, b2s, have, _ = jax.lax.while_loop(mcond, mbody, st0)
 
         # chain sample-position cotangents to the ray parameters
         gfx = zf
@@ -541,19 +613,20 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
         acc[5] = acc[5] + gfz * t
         acc[6] = acc[6] + gdot
         acc[7] = acc[7] + gdot * sf
-        return (base, have, *acc)
+        return (b1s, b2s, have, *acc)
 
     out = jax.lax.fori_loop(
         0, S, sbody,
-        (jnp.int32(-(1 << 28)), jnp.int32(0)) + (zf,) * 8)
-    base, have = out[0], out[1]
+        (jnp.int32(-(1 << 28)), jnp.int32(-(1 << 28)), jnp.int32(0))
+        + (zf,) * 8)
+    b1s, b2s, have = out[0], out[1], out[2]
 
     @pl.when(have == 1)
     def _():
-        flush(base)
+        flush(b1s, b2s)
 
     for i in range(8):
-        gray[i][:, :] = out[2 + i]
+        gray[i][:, :] = out[3 + i]
 
 
 def sample_fields_bwd(tabs, o, d, t0, dt, cots, dim, lit=False, window=64,

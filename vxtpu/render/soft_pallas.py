@@ -85,30 +85,34 @@ class MortonSoftGrid:
                                for c in range(3)]))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(8, 9, 10, 11, 12, 13, 14))
 def sample_fields(sig, r, g, b, o, d, t0, dt, S, dim, lit, window,
-                  image_shape, interpret):
+                  image_shape, block_shape, interpret):
     """Raw trilinear field samples along rays, differentiable w.r.t. the
     Morton tables and the ray parameters (o, d, t0, dt). Returns a tuple
     of [S, N] arrays: (sigma, r, g, b[, gsx, gsy, gsz])."""
     return sample_fields_fwd((sig, r, g, b), o, d, t0, dt, S, dim,
                              lit=lit, window=window,
-                             image_shape=image_shape, interpret=interpret)
+                             image_shape=image_shape,
+                             block_shape=block_shape, interpret=interpret)
 
 
 def _sf_fwd(sig, r, g, b, o, d, t0, dt, S, dim, lit, window, image_shape,
-            interpret):
+            block_shape, interpret):
     out = sample_fields_fwd((sig, r, g, b), o, d, t0, dt, S, dim, lit=lit,
                             window=window, image_shape=image_shape,
-                            interpret=interpret)
+                            block_shape=block_shape, interpret=interpret)
     return out, (sig, r, g, b, o, d, t0, dt)
 
 
-def _sf_bwd(S, dim, lit, window, image_shape, interpret, res, cots):
+def _sf_bwd(S, dim, lit, window, image_shape, block_shape, interpret, res,
+            cots):
     sig, r, g, b, o, d, t0, dt = res
     gtabs, go, gd, gt0, gdt = sample_fields_bwd(
         (sig, r, g, b), o, d, t0, dt, cots, dim, lit=lit, window=window,
-        image_shape=image_shape, interpret=interpret)
+        image_shape=image_shape, block_shape=block_shape,
+        interpret=interpret)
     return (*gtabs, go, gd, gt0, gdt)
 
 
@@ -141,19 +145,32 @@ def render_soft_rays_pallas(msoft: MortonSoftGrid, o: jax.Array,
                             seg_bounds=None,
                             window: int = 64,
                             image_shape=None,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool | None = None) -> jax.Array:
     """Volumetric render rgb [N,3] on the Pallas sampling kernels.
 
     Fully differentiable by ordinary autodiff: the kernel pair is the
     custom-VJP boundary, everything else is [S,N]-vectorized XLA matching
-    render/soft.py's cumprod formulation op for op."""
+    render/soft.py's cumprod formulation op for op.
+
+    interpret=None auto-selects: compiled on TPU-class backends (tpu /
+    axon), interpret mode elsewhere (the CPU test platform)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    # spatially-coherent [8,128] tiles (32x32 image blocks) keep the
+    # sample front's Morton row span narrow — without them a 1024-pixel
+    # scanline strip's front spans many windows and the fetch mini-loop
+    # thrashes (measured 90x slower on device)
+    block_shape = ((32, 32) if image_shape is not None
+                   and image_shape[0] % 32 == 0
+                   and image_shape[1] % 32 == 0 else None)
     dims = msoft.dims
     warn_soft_scope(settings, lights)
     lit = (lights is not None and lights.count > 0
            and settings.shading != "flat")
     t0, dt, valid = _enter_dt_soft(o, d, dims, num_samples, seg_bounds)
     vals = sample_fields(*msoft.tables(), o, d, t0, dt, num_samples,
-                         msoft.dim, lit, window, image_shape, interpret)
+                         msoft.dim, lit, window, image_shape, block_shape,
+                         interpret)
     sv, rr, gg, bb = vals[:4]                               # [S, N]
     sigma = jax.nn.softplus(sv)
     rgb = jax.nn.sigmoid(jnp.stack([rr, gg, bb], axis=-1))  # [S, N, 3]
@@ -187,7 +204,7 @@ def render_soft_image_pallas(msoft: MortonSoftGrid, cam,
                              width: int, num_samples: int,
                              lights: Lights | None = None,
                              window: int = 64,
-                             interpret: bool = False) -> jax.Array:
+                             interpret: bool | None = None) -> jax.Array:
     """[H,W,3] differentiable render on the Pallas sampling path (grads
     flow to the Morton tables AND the camera pose)."""
     from vxtpu.camera.rays import generate_rays

@@ -55,6 +55,13 @@ class TrainConfig:
     mask_scale: int = 4
     mask_refresh: int = 50
     mask_tau: float = 0.01
+    # Pallas field-sampling path (render/soft_pallas.py): train the scene
+    # in fine-voxel Morton layout with the kernel gather/scatter pair —
+    # the contract's custom-VJP backward kernel (SURVEY.md §2 L0). The
+    # TV regularizer becomes the Morton even-parity variant
+    # (train/loss.tv_loss_morton). Requires cubic power-of-two dims.
+    field_kernel: bool = False
+    field_window: int = 64
 
 
 def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
@@ -67,6 +74,28 @@ def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
     if cfg.optimize_camera:
         o, d = generate_rays(cam, *hw)
 
+    if cfg.field_kernel:
+        from vxtpu.render.soft_pallas import render_soft_rays_pallas
+        from vxtpu.train.loss import tv_loss_morton
+
+        # coherent image tiles whenever the ray set is scanline-complete
+        # (full frames, or V stacked views treated as a (V*H, W) image);
+        # random-ray minibatches fall back to flat tiles
+        n = o.shape[0]
+        ishape = ((n // hw[1], hw[1])
+                  if hw and n % hw[1] == 0 and n >= hw[1] else None)
+        pred = render_soft_rays_pallas(soft, o, d, settings,
+                                       cfg.num_samples, mask=mask,
+                                       mask_scale=cfg.mask_scale,
+                                       seg_bounds=bounds,
+                                       window=cfg.field_window,
+                                       image_shape=ishape)
+        loss = mse(pred, target)
+        if cfg.tv_sigma:
+            loss = loss + cfg.tv_sigma * tv_loss_morton(soft.sigma_tab)
+        if cfg.tv_rgb:
+            loss = loss + cfg.tv_rgb * tv_loss_morton(soft.rgb_tab)
+        return loss
     if cfg.use_custom_vjp:
         from vxtpu.render.vjp import render_soft_rays_fast
 
@@ -151,6 +180,10 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
     if cfg.optimize_camera and minibatched:
         raise ValueError("optimize_camera requires full-image steps (ray_batch=0)")
 
+    if cfg.field_kernel:
+        from vxtpu.render.soft_pallas import MortonSoftGrid
+
+        soft = MortonSoftGrid.from_soft(soft)
     params = (soft, cam) if cfg.optimize_camera else soft
     opt = make_optimizer(cfg)
     if opt_state is None:
@@ -194,6 +227,8 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
                                               occupancy_mask_from_soft)
 
             cur = params[0] if cfg.optimize_camera else params
+            if cfg.field_kernel:
+                cur = cur.to_soft()
             mask = occupancy_mask_from_soft(cur, cfg.mask_scale,
                                             tau=cfg.mask_tau, dilate=1)
             mask_df = mask_distance_field(mask)
@@ -231,4 +266,6 @@ def _fit_rays(soft: SoftGrid, cam: Camera, o, d, target, hw,
         soft_out, cam_out = params
     else:
         soft_out, cam_out = params, cam
+    if cfg.field_kernel:
+        soft_out = soft_out.to_soft()
     return soft_out, cam_out, losses, opt_state
