@@ -4,7 +4,13 @@ soft.trilinear, and throughput vs the XLA 8-corner gather at the train
 probe shape (128^3 field, 256^2 rays x 64 ray-ordered samples = 4.2M
 coherent sample points).
 
-Writes tools/probe_r4_trilerp_out.json."""
+Writes tools/probe_r4_trilerp_out.json.
+
+HISTORICAL (round 4): render/kernel_trilerp was retired in round 5 —
+its measured lesson (8 separate per-corner matmuls pay the fetch
+machinery 8x -> 0.58x XLA) drove render/kernel_sample.py's batched
+design. This probe no longer runs; its committed output
+(probe_r4_trilerp_out.json) remains the round-4 evidence."""
 
 import json
 import os

@@ -307,3 +307,45 @@ def camera_frame_rays(cam: Camera, height: int, width: int):
     R = jnp.stack([fwd, right, up], axis=1)
     d_cam = d @ R          # world->cam coefficients
     return jnp.zeros_like(o), d_cam
+
+
+def render_frame_fused_sharded(accel, mats, dims, cam: Camera, lights,
+                               settings: RenderSettings, height: int,
+                               width: int, mesh: Mesh,
+                               inkernel_shadows: bool = True,
+                               interpret: bool = False):
+    """[H,W,3] frame through the FLAGSHIP fused Pallas kernel with rays
+    sharded over the mesh — the contract's north-star composition ("rays
+    are tiled and sharded across chips ... Pallas forward kernel",
+    BASELINE.json): the pallas_call runs INSIDE the shard_map body on each
+    device's scanline band. The accel/material tables are replicated.
+    Equality with the single-device fused render is locked on the
+    8-virtual-device CPU mesh (tests/test_sharding.py)."""
+    from vxtpu.render.fused import render_rays_fused
+
+    n_shards = mesh.devices.size
+    o, d = generate_rays(cam, height, width)
+    o, d, n_real = _pad_rays(o, d, n_shards)
+    # per-shard image geometry: each shard gets a contiguous scanline band
+    shard_shape = (height // n_shards, width) \
+        if height % n_shards == 0 else None
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    def _render_shard(o_s, d_s, accel_s, mats_s):
+        ishape = shard_shape
+        if ishape is None or ishape[0] * ishape[1] != o_s.shape[0]:
+            ishape = None
+        rgb, _ = render_rays_fused(o_s, d_s, accel_s, mats_s, dims, lights,
+                                   settings, image_shape=ishape,
+                                   inkernel_shadows=inkernel_shadows,
+                                   interpret=interpret)
+        return rgb
+
+    rgb = _render_shard(o, d, accel, mats)
+    return rgb[:n_real].reshape(height, width, 3)
