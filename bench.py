@@ -121,23 +121,27 @@ def bench_forward(details):
     # ---- inside-the-grid camera (flythrough frame): 100% AABB-valid rays,
     # the case the old hardcoded 9/16 schedule overflowed on. Run with the
     # DEFAULT adaptive schedule to show it generalizes.
-    cam_in = Camera.make(pos=(256.0, 256.0, 120.0),
-                         fov_y_deg=55.0).look_at((500.0, 400.0, 90.0))
-    o_in, d_in = generate_rays(cam_in, H, W)
-    vc_in = count_valid_rays(o_in, d_in, dims)
-    factory_in = functools.partial(make_march_wavefront, valid_count=vc_in)
+    if os.environ.get("VXTPU_BENCH_WAVEFRONT_FULL") == "1":
+        cam_in = Camera.make(pos=(256.0, 256.0, 120.0),
+                             fov_y_deg=55.0).look_at((500.0, 400.0, 90.0))
+        o_in, d_in = generate_rays(cam_in, H, W)
+        vc_in = count_valid_rays(o_in, d_in, dims)
+        factory_in = functools.partial(make_march_wavefront,
+                                       valid_count=vc_in)
 
-    @jax.jit
-    def frame_in(g, acc, eps):
-        cam2 = cam_in.replace(yaw=cam_in.yaw + eps * 1e-6)
-        img = render_image(factory_in, g, cam2, lights, settings, H, W, acc)
-        return img, jnp.mean(img)
+        @jax.jit
+        def frame_in(g, acc, eps):
+            cam2 = cam_in.replace(yaw=cam_in.yaw + eps * 1e-6)
+            img = render_image(factory_in, g, cam2, lights, settings, H, W,
+                               acc)
+            return img, jnp.mean(img)
 
-    dt_in = _chain_time(lambda g, a, e: frame_in(g, a, e)[1], (grid, accel))
-    details["forward_inside_camera"] = dict(
-        frame_ms=round(dt_in * 1e3, 1),
-        mrays=round(H * W / dt_in / 1e6, 3), valid_rays=vc_in,
-        schedule="adaptive(valid_count)", kernel="wavefront")
+        dt_in = _chain_time(lambda g, a, e: frame_in(g, a, e)[1],
+                            (grid, accel))
+        details["forward_inside_camera"] = dict(
+            frame_ms=round(dt_in * 1e3, 1),
+            mrays=round(H * W / dt_in / 1e6, 3), valid_rays=vc_in,
+            schedule="adaptive(valid_count)", kernel="wavefront")
 
     # ---- exact execution counters for the roofline model
     @jax.jit
@@ -300,7 +304,8 @@ def bench_pallas2(details):
             ms=round(dt_f * 1e3, 1),
             mrays=round(H * W / dt_f / 1e6, 3), lights=1,
             shading="full+shadows+fog",
-            frame="march + per-light t_max shadow march + fused shade")
+            frame="ONE dispatch: march + in-kernel per-light shadow "
+                  "marches + in-kernel shade (SURVEY.md §4.3 shape)")
 
         # ---- roofline: exact per-tile loop iterations
         @jax.jit
@@ -404,6 +409,14 @@ def bench_train(details):
                                          target, *extra)
         jax.block_until_ready(s2)
         float(loss)
+        # second warm call: the first output's device-committed arrays
+        # change the arg signature once and force a retrace (measured
+        # per_call [73s, 72s, 1.0s, 1.0s] — tools/probe_r5_step_out.json);
+        # steady state starts at call 3
+        s2, c, opt_state, loss = step_fn(s2, c, opt_state, o_c, d_c,
+                                         target, *extra)
+        jax.block_until_ready(s2)
+        float(loss)
         # hard sync per step, shallow queue: deep async step queues
         # sporadically kill this endpoint with an opaque InvalidArgument
         # (see tools/probe_r4_c512.py); 2 synced steps is an honest
@@ -448,6 +461,23 @@ def bench_train(details):
     entry["note"] = ("subprocess run: masked-after-dense in one process "
                      "trips an endpoint backend bug")
     details["train_step_masked"] = entry
+
+    # field-kernel step (Pallas gather/scatter pair, render/kernel_sample)
+    # — same subprocess isolation policy
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools",
+                      "bench_train_field.py")],
+        capture_output=True, text=True, timeout=1800)
+    line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    try:
+        fentry = json.loads(line)
+        fentry["speedup_vs_b1"] = round(
+            details["train_step_b1"]["ms"] / max(fentry["ms"], 1e-9), 2)
+        details["train_step_field"] = fentry
+    except Exception:
+        details["train_step_field"] = dict(
+            error=out.stderr[-400:] or "no output")
     return details["train_step_b1"]["ms"], details["train_step_masked"]["ms"]
 
 
@@ -502,6 +532,8 @@ def main():
         # b1 is what the shipped config runs on this 1-chip topology
         line["train_step_ms"] = train_ms
         line["train_step_masked_ms"] = train_masked_ms
+        if "ms" in details.get("train_step_field", {}):
+            line["train_step_field_ms"] = details["train_step_field"]["ms"]
     print(json.dumps(line))
 
 

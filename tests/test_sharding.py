@@ -189,8 +189,8 @@ def test_sharded_field_kernel_train_step_descends():
     grid = procgen.shell_sphere((D, D, D))
     truth = SoftGrid.from_hard(grid, sigma_solid=20.0)
     cam = Camera.make(pos=(-10.0, 8.0, 8.0)).look_at((8.0, 8.0, 8.0))
-    H = W = 16
-    S = 8
+    H = W = 8          # tiny: 8 interpret-mode kernel pairs per step
+    S = 4
     s = RenderSettings(shading="lambert")
     L = Lights.single((0.0, 8.0, 30.0), intensity=2.0)
     target = render_soft_image_sharded(truth, cam, s, H, W, S, mesh,
@@ -198,12 +198,12 @@ def test_sharded_field_kernel_train_step_descends():
     o_c, d_c = camera_frame_rays(cam, H, W)
     init_fn, step_fn = make_sharded_train_step(
         s, S, mesh, optimize_camera=False, lights=L, field_kernel=True,
-        field_window=16, field_image_shape=(H, W), field_interpret=True)
+        field_window=16, field_interpret=True)
     msoft = MortonSoftGrid.from_soft(SoftGrid.zeros((D, D, D)))
     opt_state = init_fn(msoft, cam)
     losses = []
-    for _ in range(6):
+    for _ in range(3):
         msoft, cam, opt_state, loss = step_fn(msoft, cam, opt_state,
                                               o_c, d_c, target)
         losses.append(float(loss))
-    assert losses[-1] < losses[0] * 0.9
+    assert losses[-1] < losses[0] * 0.95

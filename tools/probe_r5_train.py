@@ -129,11 +129,75 @@ def train_shape(name, dims, samples, window, steps_timed=2):
                     window=window, lit=True, loss0=l0, loss=lf))
 
 
+def masked_shape(name, dims, samples, window, steps_timed=2):
+    """Masked field-kernel step: S samples concentrated in each ray's
+    occupied band (occmask seg_bounds) — the honest mask comparison is
+    equal in-band spacing, not equal sample count
+    (tools/analysis_masked512.md)."""
+    if name in RES:
+        return
+    from vxtpu.engine.sharding import compute_mask_bounds
+    from vxtpu.render.occmask import (mask_distance_field,
+                                      occupancy_mask_from_soft)
+
+    H = W = 256
+    G = 4
+    settings = RenderSettings(shading="lambert")
+    lights = Lights.single((dims[0] * 0.2, -dims[1] * 0.3, dims[2] * 1.4),
+                           intensity=2.0)
+    mesh = make_mesh(1)
+    truth = SoftGrid.from_hard(
+        procgen.terrain(dims, seed=7, with_rgb=dims[0] <= 128),
+        sigma_solid=25.0)
+    cam = Camera.make(
+        pos=(-dims[0] * 0.7, dims[1] * 0.5, dims[2] * 1.1),
+        fov_y_deg=55.0).look_at(
+        (dims[0] * 0.5, dims[1] * 0.5, dims[2] * 0.27))
+    target = render_soft_image_sharded(truth, cam, settings, H, W,
+                                       4 * samples, mesh,
+                                       lights=lights).reshape(-1, 3)
+    o_c, d_c = camera_frame_rays(cam, H, W)
+    soft = SoftGrid(sigma_raw=truth.sigma_raw * 0.8,
+                    rgb_raw=truth.rgb_raw * 0.8)
+    mask = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)
+    mdf = mask_distance_field(mask)
+    frac = round(float(jnp.mean(mask.astype(jnp.float32))), 4)
+    msoft = MortonSoftGrid.from_soft(soft)
+    del truth, soft
+
+    init_fn, step_fn = make_sharded_train_step(
+        settings, samples, mesh, optimize_camera=True, grad_buckets=1,
+        lights=lights, field_kernel=True, field_window=window,
+        field_image_shape=(H, W), use_mask=True, mask_scale=G)
+    opt_state = init_fn(msoft, cam)
+    c = cam
+    b0, b1 = compute_mask_bounds(mask, mdf, c, o_c, d_c, G)
+    s2, c, opt_state, loss = step_fn(msoft, c, opt_state, o_c, d_c,
+                                     target, mask, b0, b1)
+    jax.block_until_ready(s2)
+    l0 = float(loss)
+    s2, c, opt_state, loss = step_fn(s2, c, opt_state, o_c, d_c, target,
+                                     mask, b0, b1)
+    jax.block_until_ready(s2)
+    t0 = time.perf_counter()
+    for _ in range(steps_timed):
+        b0, b1 = compute_mask_bounds(mask, mdf, c, o_c, d_c, G)
+        s2, c, opt_state, loss = step_fn(s2, c, opt_state, o_c, d_c,
+                                         target, mask, b0, b1)
+        jax.block_until_ready(s2)
+    lf = float(loss)
+    dt = (time.perf_counter() - t0) / steps_timed
+    save(name, dict(ms=round(dt * 1e3, 1), dims=list(dims), rays=H * W,
+                    samples=samples, window=window, lit=True, masked=True,
+                    mask_occupied_frac=frac, loss0=l0, loss=lf))
+
+
 def main():
     device_exact()
     train_shape("train_field_blk_w64", (128, 128, 128), 64, 64)
     train_shape("train_field_blk_w128", (128, 128, 128), 64, 128)
     train_shape("train_field_blk_512", (512, 512, 512), 32, 64)
+    masked_shape("train_field_masked_512", (512, 512, 512), 8, 64)
 
 
 if __name__ == "__main__":
