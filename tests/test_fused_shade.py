@@ -158,3 +158,33 @@ def test_inkernel_shadows_match_composed():
                                  settings, image_shape=(32, 64),
                                  inkernel_shadows=False, interpret=True)
     assert jnp.max(jnp.abs(rgb_a - rgb_b)) < 1e-5
+
+
+def test_fused_rgb8_matches_xla_pervoxel_shade():
+    """Per-voxel RGB on the flagship fused path (rgb8 fine-Morton table,
+    config 2's defining attribute) vs the XLA pipeline shade with f32
+    albedo — tolerance is quantization-scale (8 bits/channel)."""
+    import jax.numpy as jnp
+
+    from vxtpu.camera.camera import Camera
+    from vxtpu.render.fused import render_frame_fused
+    from vxtpu.render.kernel_xla import make_march_xla
+    from vxtpu.render.pipeline import render_image
+    from vxtpu.render.settings import MarchTuning, RenderSettings
+    from vxtpu.world import procgen
+    from vxtpu.world.lights import Lights
+    from vxtpu.world.packed import build_packed_morton, build_rgb8_morton
+
+    D = 32
+    g = procgen.terrain((D, D, D), seed=3, with_rgb=True)
+    accel = build_packed_morton(g.occupancy)
+    rgbtab = build_rgb8_morton(g)
+    cam = Camera.make(pos=(-20.0, 16.0, 36.0),
+                      fov_y_deg=55.0).look_at((16.0, 16.0, 8.0))
+    lights = Lights.single((5.0, -10.0, 45.0), intensity=2.0)
+    settings = RenderSettings(shading="lambert",
+                              tuning=MarchTuning(window=64))
+    a = render_frame_fused(accel, rgbtab, (D, D, D), cam, lights, settings,
+                           32, 64, rgb8=True, interpret=True)
+    b = render_image(make_march_xla, g, cam, lights, settings, 32, 64)
+    assert jnp.max(jnp.abs(a - b)) < 8e-3

@@ -85,21 +85,26 @@ def train_shape(name, dims, samples, window, steps_timed=2):
     lights = Lights.single((dims[0] * 0.2, -dims[1] * 0.3, dims[2] * 1.4),
                            intensity=2.0)
     mesh = make_mesh(1)
-    # with_rgb only at small dims: a [X,Y,Z,3] grid tile-pads its minor
-    # dim 3->128 on TPU (64 GB at 512^3 — the r4 layout trap)
-    truth = SoftGrid.from_hard(
-        procgen.terrain(dims, seed=7, with_rgb=dims[0] <= 128),
-        sigma_solid=25.0)
     cam = Camera.make(
         pos=(-dims[0] * 0.7, dims[1] * 0.5, dims[2] * 1.1),
         fov_y_deg=55.0).look_at(
         (dims[0] * 0.5, dims[1] * 0.5, dims[2] * 0.27))
-    target = render_soft_image_sharded(truth, cam, settings, H, W,
-                                       samples, mesh,
-                                       lights=lights).reshape(-1, 3)
+    if dims[0] <= 128:
+        truth = SoftGrid.from_hard(
+            procgen.terrain(dims, seed=7, with_rgb=True), sigma_solid=25.0)
+        target = render_soft_image_sharded(truth, cam, settings, H, W,
+                                           samples, mesh,
+                                           lights=lights).reshape(-1, 3)
+        del truth
+    else:
+        # 512^3: params + adam moments + grads already hold ~8.6 GB; a
+        # truth SoftGrid (+2.1 GB) and its render OOM the 16 GB chip, and
+        # step TIME does not depend on target values — use a constant
+        # target for the timing entry (convergence is the 128^3 entries'
+        # and tools/probe_r5_c4's job)
+        target = jnp.full((H * W, 3), 0.3, jnp.float32)
     o_c, d_c = camera_frame_rays(cam, H, W)
     msoft = MortonSoftGrid.from_soft(SoftGrid.zeros(dims))
-    del truth
 
     init_fn, step_fn = make_sharded_train_step(
         settings, samples, mesh, optimize_camera=True, grad_buckets=1,
@@ -146,24 +151,24 @@ def masked_shape(name, dims, samples, window, steps_timed=2):
     lights = Lights.single((dims[0] * 0.2, -dims[1] * 0.3, dims[2] * 1.4),
                            intensity=2.0)
     mesh = make_mesh(1)
-    truth = SoftGrid.from_hard(
-        procgen.terrain(dims, seed=7, with_rgb=dims[0] <= 128),
-        sigma_solid=25.0)
     cam = Camera.make(
         pos=(-dims[0] * 0.7, dims[1] * 0.5, dims[2] * 1.1),
         fov_y_deg=55.0).look_at(
         (dims[0] * 0.5, dims[1] * 0.5, dims[2] * 0.27))
-    target = render_soft_image_sharded(truth, cam, settings, H, W,
-                                       4 * samples, mesh,
-                                       lights=lights).reshape(-1, 3)
+    target = jnp.full((H * W, 3), 0.3, jnp.float32)
     o_c, d_c = camera_frame_rays(cam, H, W)
-    soft = SoftGrid(sigma_raw=truth.sigma_raw * 0.8,
-                    rgb_raw=truth.rgb_raw * 0.8)
-    mask = occupancy_mask_from_soft(soft, G, tau=0.01, dilate=1)
+    # the mask comes from the HARD terrain occupancy directly (the soft
+    # warm-state detour would add a 2.1 GB SoftGrid at 512^3); the grid
+    # being trained starts at zeros — the mask/bounds cost is what is
+    # being measured
+    occ = procgen.terrain(dims, seed=7).occupancy
+    mask = (jax.lax.reduce_window(
+        (occ > 0).astype(jnp.float32), 0.0, jax.lax.max,
+        (G, G, G), (G, G, G), "VALID") > 0).astype(jnp.uint8)
+    del occ
     mdf = mask_distance_field(mask)
     frac = round(float(jnp.mean(mask.astype(jnp.float32))), 4)
-    msoft = MortonSoftGrid.from_soft(soft)
-    del truth, soft
+    msoft = MortonSoftGrid.from_soft(SoftGrid.zeros(dims))
 
     init_fn, step_fn = make_sharded_train_step(
         settings, samples, mesh, optimize_camera=True, grad_buckets=1,

@@ -106,6 +106,16 @@ def _kernel_factory(name: str, image_shape=None):
     return make_march_xla
 
 
+
+def _fused_mats(grid):
+    """(mats table, rgb8 flag) for the fused kernel: per-voxel-RGB scenes
+    get the fine-Morton RGB8 table, palette scenes the material table."""
+    from vxtpu.world.packed import build_material_morton, build_rgb8_morton
+
+    if grid.rgb is not None:
+        return build_rgb8_morton(grid), True
+    return build_material_morton(grid.occupancy), False
+
 def cmd_render(args) -> int:
     import jax
 
@@ -129,16 +139,24 @@ def cmd_render(args) -> int:
         from vxtpu.world.packed import (build_material_morton,
                                         build_packed_morton)
 
-        if cfg.with_rgb or getattr(args, "atlas", False):
-            print("note: --kernel fused shades from the material palette "
-                  "(occupancy ids); per-voxel RGB / --atlas are only "
-                  "honored by the XLA shading pipeline kernels")
+        if getattr(args, "atlas", False):
+            print("note: --kernel fused shades per-voxel colors (rgb8) "
+                  "or the material palette; --atlas face textures are "
+                  "only honored by the XLA shading pipeline kernels")
         dd = dims or cfg.dims
         acc = build_packed_morton(grid.occupancy, cap=64)
-        mats = build_material_morton(grid.occupancy)
+        rgb8 = grid.rgb is not None
+        if rgb8:
+            # per-voxel RGB scenes (config 2) shade in-kernel from the
+            # fine-Morton RGB8 table (world/packed.build_rgb8_morton)
+            from vxtpu.world.packed import build_rgb8_morton
+
+            mats = build_rgb8_morton(grid)
+        else:
+            mats = build_material_morton(grid.occupancy)
         fn = jax.jit(lambda words, mw: render_frame_fused(
             type(acc)(words=words), mw, dd, cam, lights, cfg.settings,
-            h, w))
+            h, w, rgb8=rgb8))
         img = jax.block_until_ready(fn(acc.words, mats))
         _save_png(args.out, img)
         log.info("wrote %s [%dx%d] config=%s (fused)", args.out, h, w,
@@ -193,12 +211,13 @@ def cmd_animate(args) -> int:
                                         build_packed_morton)
 
         m_accel = build_packed_morton(grid.occupancy, cap=64)
-        m_mats = build_material_morton(grid.occupancy)
+        m_mats, rgb8 = _fused_mats(grid)
 
         @jax.jit
         def frame(words, mw, t):
             return render_frame_fused(type(m_accel)(words=words), mw, dims,
-                                      cam_at(t), lights, cfg.settings, h, w)
+                                      cam_at(t), lights, cfg.settings, h, w,
+                                      rgb8=rgb8)
 
         grid, accel = m_accel.words, m_mats   # reuse the loop's arg slots
     else:
@@ -398,13 +417,14 @@ def cmd_bench(args) -> int:
                                         build_packed_morton)
 
         m_accel = build_packed_morton(grid.occupancy, cap=64)
-        m_mats = build_material_morton(grid.occupancy)
+        m_mats, rgb8 = _fused_mats(grid)
 
         @jax.jit
         def frame(words, mw, eps):
             c = cam.replace(yaw=cam.yaw + eps * 1e-6)
             img = render_frame_fused(type(m_accel)(words=words), mw, dims,
-                                     c, lights, cfg.settings, h, w)
+                                     c, lights, cfg.settings, h, w,
+                                     rgb8=rgb8)
             return img, jnp.mean(img)
 
         grid, accel = m_accel.words, m_mats

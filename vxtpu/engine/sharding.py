@@ -294,7 +294,11 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
             cam = jax.tree_util.tree_map(lambda p, u: p + u, cam, cupd)
         return soft, cam, (soft_state, cam_state), loss
 
-    return init_fn, jax.jit(_step)
+    # donate the training carry: without donation old + new params and
+    # both adam-moment generations coexist across the update (~17 GB at
+    # 512^3 with the field path's grad-table accumulator -> OOM on a
+    # 16 GB chip; measured tools/probe_r5_train run 6)
+    return init_fn, jax.jit(_step, donate_argnums=(0, 2))
 
 
 def camera_frame_rays(cam: Camera, height: int, width: int):

@@ -12,8 +12,10 @@ Two compositions:
     visibility channels (shade_pallas_v2). Same shadow semantics as
     render/pipeline.shadow_visibility (parity-tested).
 
-Palette-mode scenes only (per-voxel-RGB grids use render/pipeline's XLA
-shade path — see world/grid.Albedo).
+Palette scenes use the 24-bit material-word table; per-voxel-RGB scenes
+(config 2) pass rgb8=True with a world/packed.build_rgb8_morton table —
+both shade fully in-kernel (the XLA pipeline shade path remains the
+parity oracle).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ from vxtpu.world.lights import Lights
 def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
                       settings: RenderSettings, image_shape=None,
                       inkernel_shadows: bool = True,
+                      rgb8: bool = False,
                       interpret: bool = False):
     """Rays [N,3] -> (rgb [N,3], HitRecord), everything in-kernel.
 
@@ -54,7 +57,7 @@ def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
                 and lights.count > 0)
     if not shadowed or inkernel_shadows:
         spec = ShadeSpec.from_settings(settings, lights, use_vis=False,
-                                       shadows=shadowed)
+                                       shadows=shadowed, rgb8=rgb8)
         rec, rgb = march_pallas_v2(o, d, accel, dims, max_steps,
                                    shade_spec=spec, mats=mats,
                                    lights_arr=lights_arr, **kw)
@@ -78,7 +81,7 @@ def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
         vis_cols.append(jnp.where(srec.hit & rec.hit, 0.0, 1.0))
     vis = jnp.stack(vis_cols, axis=-1)
     spec = ShadeSpec.from_settings(settings, lights, use_vis=True,
-                                   shadows=False)
+                                   shadows=False, rgb8=rgb8)
     rgb = shade_pallas_v2(rec, o, d, vis, mats, lights_arr, spec,
                           image_shape=image_shape, block_shape=tn.block,
                           interpret=interpret)
@@ -88,11 +91,16 @@ def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
 def render_frame_fused(accel, mats, dims, cam: Camera, lights: Lights,
                        settings: RenderSettings, height: int, width: int,
                        inkernel_shadows: bool = True,
+                       rgb8: bool = False,
                        interpret: bool = False) -> jax.Array:
-    """Full frame [H, W, 3] through the fused kernel path."""
+    """Full frame [H, W, 3] through the fused kernel path.
+
+    rgb8=True: ``mats`` is a per-voxel RGB8 fine-Morton table
+    (world/packed.build_rgb8_morton) — config 2's per-voxel-RGB scenes on
+    the flagship path instead of the XLA shade fallback."""
     o, d = generate_rays(cam, height, width)
     rgb, _ = render_rays_fused(o, d, accel, mats, dims, lights, settings,
                                image_shape=(height, width),
                                inkernel_shadows=inkernel_shadows,
-                               interpret=interpret)
+                               rgb8=rgb8, interpret=interpret)
     return rgb.reshape(height, width, 3)

@@ -228,6 +228,7 @@ class ShadeSpec:
 
     mode: str = "lambert"            # 'flat' | 'lambert' | 'full'
     shadows: bool = False            # in-kernel per-light shadow marches
+    rgb8: bool = False               # mats = per-voxel RGB8 fine-Morton
     fog: bool = False
     n_lights: int = 1
     use_vis: bool = False            # shadow-visibility input channels
@@ -242,8 +243,8 @@ class ShadeSpec:
 
     @staticmethod
     def from_settings(settings, lights, use_vis: bool = False,
-                      palette=None, shadows: bool | None = None
-                      ) -> "ShadeSpec":
+                      palette=None, shadows: bool | None = None,
+                      rgb8: bool = False) -> "ShadeSpec":
         if palette is None:
             from vxtpu.world.grid import MATERIAL_RGB
 
@@ -257,7 +258,7 @@ class ShadeSpec:
         return ShadeSpec(
             mode=settings.shading if settings.shading in
             ("flat", "lambert", "full") else "lambert",
-            shadows=shadows,
+            shadows=shadows, rgb8=rgb8,
             fog=settings.fog, n_lights=lights.count, use_vis=use_vis,
             ambient=settings.ambient, specular_exp=settings.specular_exp,
             specular_k=settings.specular_k,
@@ -282,7 +283,7 @@ def pack_lights(lights) -> jax.Array:
 _SHADOW_EPS = 1e-3  # matches render/shade._SHADOW_EPS (parity-tested)
 
 
-def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, mwin_ref, msem,
+def _shade_epilogue(spec: ShadeSpec, _rows_unused, mat_ref, mwin_ref, msem,
                     lights_ref, vis,
                     ox, oy, oz, dx, dy, dz, hit, t_hit, vx, vy, vz,
                     rax, rsg):
@@ -300,9 +301,15 @@ def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, mwin_ref, msem,
     hitb = hit == 1
     zero = jnp.zeros(TILE, jnp.int32)
     Wm = mwin_ref.shape[0]
+    # the material table's OWN row count, not the occupancy table's: in
+    # rgb8 mode the table is fine-voxel Morton (8x the coarse rows)
+    rows = mat_ref.shape[0]
 
     # ---- material word fetch (f32 one-hot: 24-bit words)
-    widx = _morton3(vx >> 1, vy >> 1, vz >> 1)
+    if spec.rgb8:
+        widx = _morton3(vx, vy, vz)
+    else:
+        widx = _morton3(vx >> 1, vy >> 1, vz >> 1)
     row = widx >> 7
     lane = widx & 127
 
@@ -331,19 +338,25 @@ def _shade_epilogue(spec: ShadeSpec, rows, mat_ref, mwin_ref, msem,
     _, mat_word, _ = jax.lax.while_loop(
         mcond, mbody, (zero, zero, jnp.int32(0)))
 
-    # ---- albedo: 3-bit child id -> palette select chain
-    ci = ((vx & 1) << 2) | ((vy & 1) << 1) | (vz & 1)
-    mid = zero
-    for k in range(8):
-        mid = jnp.where(ci == k, (mat_word >> (3 * k)) & 7, mid)
-    pr = jnp.zeros(TILE, jnp.float32)
-    pg = jnp.zeros(TILE, jnp.float32)
-    pb = jnp.zeros(TILE, jnp.float32)
-    for k, (cr, cg, cb_) in enumerate(spec.palette):
-        selk = mid == k
-        pr = jnp.where(selk, cr, pr)
-        pg = jnp.where(selk, cg, pg)
-        pb = jnp.where(selk, cb_, pb)
+    if spec.rgb8:
+        # ---- albedo: RGB8 word decode (world/packed.build_rgb8_morton)
+        pr = (mat_word & 255).astype(jnp.float32) * (1.0 / 255.0)
+        pg = ((mat_word >> 8) & 255).astype(jnp.float32) * (1.0 / 255.0)
+        pb = ((mat_word >> 16) & 255).astype(jnp.float32) * (1.0 / 255.0)
+    else:
+        # ---- albedo: 3-bit child id -> palette select chain
+        ci = ((vx & 1) << 2) | ((vy & 1) << 1) | (vz & 1)
+        mid = zero
+        for k in range(8):
+            mid = jnp.where(ci == k, (mat_word >> (3 * k)) & 7, mid)
+        pr = jnp.zeros(TILE, jnp.float32)
+        pg = jnp.zeros(TILE, jnp.float32)
+        pb = jnp.zeros(TILE, jnp.float32)
+        for k, (cr, cg, cb_) in enumerate(spec.palette):
+            selk = mid == k
+            pr = jnp.where(selk, cr, pr)
+            pg = jnp.where(selk, cg, pg)
+            pb = jnp.where(selk, cb_, pb)
 
     # ---- face normal from the DDA step mask (shade.py semantics: zero
     # on miss)

@@ -199,3 +199,33 @@ def build_material_morton(occupancy: jax.Array) -> jax.Array:
     flat = (jnp.zeros((S * S * S,), jnp.float32)
             .at[mi].set(word.reshape(-1).astype(jnp.float32)))
     return _pad_rows(flat)
+
+
+def build_rgb8_morton(grid) -> jax.Array:
+    """FINE-voxel Morton per-voxel RGB table for the fused in-kernel
+    shading epilogue — config 2's defining attribute (BASELINE.json:8)
+    on the flagship path (VERDICT r4 next-#6).
+
+    f32 [X*Y*Z/128, 128]; word[voxel] = r8 | g8 << 8 | b8 << 16 with each
+    channel quantized to 8 bits (the reference's voxel colors are 8-bit
+    data — SURVEY.md §3 C2 "char* grid" / C17 atlas; the XLA shade path
+    keeps f32 albedo, so fused-vs-XLA parity tests use a 1/255-scale
+    tolerance). 24-bit words are exactly representable in f32 and are
+    fetched by the same HIGHEST-precision one-hot mini-loop as the
+    material table. Channels are built one at a time from strided slices
+    — never a device-side [X,Y,Z,3] (minor-dim-3 tile padding, the r4
+    layout trap)."""
+    assert grid.rgb is not None, "build_rgb8_morton needs per-voxel RGB"
+    X, Y, Z = grid.dims
+    assert X == Y == Z and (X & (X - 1)) == 0, (
+        "morton rgb8 table needs a cubic power-of-two grid")
+    word = jnp.zeros((X, Y, Z), jnp.int32)
+    for c in range(3):
+        q = jnp.clip(jnp.round(grid.rgb[..., c] * 255.0), 0, 255)
+        word = word | (q.astype(jnp.int32) << (8 * c))
+    ii, jj, kk = jnp.meshgrid(jnp.arange(X), jnp.arange(Y), jnp.arange(Z),
+                              indexing="ij")
+    mi = morton3(ii, jj, kk).reshape(-1)
+    flat = (jnp.zeros((X * Y * Z,), jnp.float32)
+            .at[mi].set(word.reshape(-1).astype(jnp.float32)))
+    return _pad_rows(flat)
