@@ -67,14 +67,18 @@ def render_views(soft, cams, settings, S, batch=4096):
     the Pallas kernels — so the artifact also cross-checks the two)."""
     from vxtpu.camera.rays import generate_rays
 
+    # soft is a jit ARGUMENT, not a closure constant: a closed-over 2.1 GB
+    # grid would be inlined into the MLIR payload (the axon remote
+    # compiler rejects >~100 MB bodies — r1 note in bench.py)
+    f = jax.jit(lambda s_, o_, d_: render_soft_rays(
+        s_, o_, d_, settings, S)[0])
     imgs = []
     for cam in cams:
         o, d = generate_rays(cam, H, W)
         rows = []
-        f = jax.jit(lambda o_, d_: render_soft_rays(
-            soft, o_, d_, settings, S)[0])
         for i in range(0, o.shape[0], batch):
-            rows.append(jax.device_get(f(o[i:i + batch], d[i:i + batch])))
+            rows.append(jax.device_get(
+                f(soft, o[i:i + batch], d[i:i + batch])))
         imgs.append(np.concatenate(rows, axis=0).reshape(H, W, 3))
     return np.stack(imgs)
 

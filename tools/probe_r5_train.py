@@ -197,12 +197,63 @@ def masked_shape(name, dims, samples, window, steps_timed=2):
                     mask_occupied_frac=frac, loss0=l0, loss=lf))
 
 
+def grad_allclose(name, dims, samples):
+    """Device grads: field-kernel path vs the r1-r4 custom-VJP scan
+    (render/vjp.py) on the same rays/scene — the 'allclose at 128^3 AND
+    512^3' criterion (VERDICT r4 next-#2)."""
+    if name in RES:
+        return
+    from vxtpu.camera.rays import generate_rays
+    from vxtpu.render.kernel_sample import field_from_morton
+    from vxtpu.render.soft_pallas import render_soft_rays_pallas
+    from vxtpu.render.vjp import render_soft_rays_fast
+
+    n = 4096
+    settings = RenderSettings(shading="lambert")
+    lights = Lights.single((dims[0] * 0.2, -dims[1] * 0.3, dims[2] * 1.4),
+                           intensity=2.0)
+    cam = Camera.make(
+        pos=(-dims[0] * 0.7, dims[1] * 0.5, dims[2] * 1.1),
+        fov_y_deg=55.0).look_at(
+        (dims[0] * 0.5, dims[1] * 0.5, dims[2] * 0.27))
+    o, d = generate_rays(cam, 64, 64)
+    soft = SoftGrid.from_hard(procgen.terrain(dims, seed=7),
+                              sigma_solid=12.0)
+    msoft = MortonSoftGrid.from_soft(soft)
+
+    def loss_ref(s_):
+        c = render_soft_rays_fast(s_, o, d, settings, samples, lights)
+        return jnp.sum(c * c)
+
+    def loss_pal(m_):
+        c = render_soft_rays_pallas(m_, o, d, settings, samples,
+                                    lights=lights, window=64)
+        return jnp.sum(c * c)
+
+    gr = jax.jit(jax.grad(loss_ref))(soft)
+    gp = jax.jit(jax.grad(loss_pal))(msoft)
+    gs = field_from_morton(gp.sigma_tab, dims[0])
+
+    def relerr(a, b):
+        return float(jnp.max(jnp.abs(a - b))
+                     / (jnp.max(jnp.abs(b)) + 1e-12))
+
+    rs = relerr(gs, gr.sigma_raw)
+    rr = max(relerr(field_from_morton(gp.rgb_tab[c], dims[0]),
+                    gr.rgb_raw[c]) for c in range(3))
+    save(name, dict(rays=n, samples=samples, sigma_rel=round(rs, 6),
+                    rgb_rel=round(rr, 6),
+                    ok=bool(rs < 2e-3 and rr < 2e-3)))
+
+
 def main():
     device_exact()
+    grad_allclose("grads_128", (128, 128, 128), 32)
     train_shape("train_field_blk_w64", (128, 128, 128), 64, 64)
     train_shape("train_field_blk_w128", (128, 128, 128), 64, 128)
     train_shape("train_field_blk_512", (512, 512, 512), 32, 64)
     masked_shape("train_field_masked_512", (512, 512, 512), 8, 64)
+    grad_allclose("grads_512", (512, 512, 512), 16)
 
 
 if __name__ == "__main__":
