@@ -215,3 +215,25 @@ def test_render_soft_pallas_masked(scene):
                                   mask_scale=4, seg_bounds=(t0b, t1b),
                                   window=32, interpret=True)
     assert jnp.max(jnp.abs(out - ref)) < 1e-4
+
+
+def test_fwd_scattered_rays_exact(fields):
+    """Spatially-SCATTERED rays in one tile (the regression that exposed
+    the round-5 mini-loop cap bug: a 64-iteration cap silently dropped
+    corners for tiles whose corner rows span many window placements).
+    Random rays over the whole grid, flat tiles, tiny window."""
+    n, S = 256, 4
+    o = jax.random.uniform(jax.random.PRNGKey(40), (n, 3)) * D
+    d = jax.random.normal(jax.random.PRNGKey(41), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t0 = jnp.zeros((n,))
+    dt = jax.random.uniform(jax.random.PRNGKey(42), (n,)) * 2
+    tabs = tuple(build_field_morton(f) for f in fields)
+    out = sample_fields_fwd(tabs, o, d, t0, dt, S, D, lit=False, window=8,
+                            interpret=True)
+    s_idx = jnp.arange(S) + 0.5
+    t_s = t0[None, :] + dt[None, :] * s_idx[:, None]
+    p = o[None, :, :] + t_s[..., None] * d[None, :, :]
+    for c in range(4):
+        ref = trilinear(fields[c], p, (D, D, D))
+        assert jnp.max(jnp.abs(out[c] - ref)) < 5e-5

@@ -252,7 +252,15 @@ def _sample_fwd_kernel(*refs, S, D, Wn, lit):
             anyp = zero
             for k in range(8):
                 anyp = anyp | pends[k]
-            return (it < 64) & (jnp.max(anyp) > 0)
+            # the bound must be the GUARANTEED-progress worst case, not a
+            # small heuristic: every iteration clears at least the
+            # min-row pending corner, so 8*TILE_RAYS iterations always
+            # complete. A 64-iteration cap silently DROPPED corners
+            # (vals left 0) for spatially-spread tiles — random-ray /
+            # flat-tiled calls returned wrong samples (round-5 bug,
+            # caught by tools/probe_r5 bisection + the tile simulator).
+            # Coherent tiles exit after ~1-3 iterations regardless.
+            return (it < 8 * 1024 + 8) & (jnp.max(anyp) > 0)
 
         def mbody(st):
             pends, vals, b1, b2, it = st
@@ -513,7 +521,8 @@ def _sample_bwd_kernel(*refs, S, D, Wn, lit, nsplit):
             anyp = zero
             for k in range(8):
                 anyp = anyp | pends[k]
-            return (it < 64) & (jnp.max(anyp) > 0)
+            # guaranteed-progress bound — see the forward kernel's note
+            return (it < 8 * 1024 + 8) & (jnp.max(anyp) > 0)
 
         def mbody(st):
             pends, vals, b1, b2, have, it = st

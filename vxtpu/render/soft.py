@@ -305,9 +305,15 @@ def render_soft_rays(soft: SoftGrid, o: jax.Array, d: jax.Array,
 
     alpha = 1.0 - jnp.exp(-sigma * dt[:, None])              # [N,S]
     alpha = jnp.where(valid[:, None], alpha, 0.0)
-    # exclusive cumprod of (1-alpha): T_i = prod_{j<i}(1-alpha_j)
+    # exclusive cumprod of (1-alpha) via SHIFT, never division: the
+    # division form divides by EXACTLY zero at saturated samples under
+    # jit on device (XLA reassociates (1 - alpha + eps) into
+    # ((1 + eps) - alpha) == 0.0f when alpha == 1 — same trap as
+    # render/vjp.py's suffix denominator)
     one_m = 1.0 - alpha + 1e-10
-    T = jnp.cumprod(one_m, axis=1) / one_m                   # exclusive
+    T = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(one_m[:, :1]), one_m[:, :-1]],
+                        axis=1), axis=1)                     # exclusive
     w = T * alpha                                            # [N,S]
     color = jnp.sum(w[..., None] * rgb, axis=1)              # [N,3]
     T_end = jnp.prod(one_m, axis=1)

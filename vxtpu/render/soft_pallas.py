@@ -255,7 +255,13 @@ def render_soft_rays_pallas(msoft: MortonSoftGrid, o: jax.Array,
     alpha = 1.0 - jnp.exp(-sigma * dt[None, :])              # [S, N]
     alpha = jnp.where(valid[None, :], alpha, 0.0)
     one_m = 1.0 - alpha + _EPS
-    T = jnp.cumprod(one_m, axis=0) / one_m                   # exclusive
+    # exclusive cumprod via SHIFT, never division: cumprod/one_m divides
+    # by EXACTLY zero at saturated samples on device (XLA reassociates
+    # (1 - alpha + eps) to ((1 + eps) - alpha) == 0.0f when alpha == 1 —
+    # the r4 trap, jit-only NaN invisible in CPU/interpret runs)
+    T = jnp.cumprod(
+        jnp.concatenate([jnp.ones((1, one_m.shape[1]), one_m.dtype),
+                         one_m[:-1]], axis=0), axis=0)       # exclusive
     w = T * alpha
     T_end = jnp.prod(one_m, axis=0)
     sky = sky_color(d, settings)                             # [N, 3]
