@@ -55,7 +55,7 @@ def main():
 
     init_fn, step_fn = make_sharded_train_step(
         settings, samples, mesh, optimize_camera=True, grad_buckets=1,
-        lights=lights, field_kernel=True, field_window=64,
+        lights=lights, field_kernel=True, field_window=128,
         field_image_shape=(H, W))
     opt = init_fn(msoft, cam)
     c = cam
@@ -72,7 +72,7 @@ def main():
     dt = (time.perf_counter() - t0) / 2
     print(json.dumps(dict(
         ms=round(dt * 1e3, 1), dims=dims, rays=H * W, samples=samples,
-        lit=True, field_kernel=True, window=64, loss=float(loss))))
+        lit=True, field_kernel=True, window=128, loss=float(loss))))
 
 
 if __name__ == "__main__":

@@ -158,7 +158,7 @@ def make_sharded_train_step(settings: RenderSettings, num_samples: int,
                             lights=None, use_custom_vjp: bool = False,
                             use_mask: bool = False, mask_scale: int = 4,
                             field_kernel: bool = False,
-                            field_window: int = 64,
+                            field_window: int = 128,
                             field_image_shape: tuple[int, int] | None = None,
                             field_interpret: bool = False):
     """Jitted SPMD training step for config 5: rays sharded, grid replicated,

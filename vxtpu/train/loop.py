@@ -56,12 +56,14 @@ class TrainConfig:
     mask_refresh: int = 50
     mask_tau: float = 0.01
     # Pallas field-sampling path (render/soft_pallas.py): train the scene
-    # in fine-voxel Morton layout with the kernel gather/scatter pair —
+    # in fine-voxel Morton layout with the kernel gather/scatter pair
+    # (window default = the measured-best 128: tools/probe_r5_train_out
+    # w128 878 ms vs w64 1039 ms at the judged shape) —
     # the contract's custom-VJP backward kernel (SURVEY.md §2 L0). The
     # TV regularizer becomes the Morton even-parity variant
     # (train/loss.tv_loss_morton). Requires cubic power-of-two dims.
     field_kernel: bool = False
-    field_window: int = 64
+    field_window: int = 128
 
 
 def _loss_fn(soft: SoftGrid, cam: Camera, o, d, target, hw,
