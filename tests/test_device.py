@@ -213,3 +213,72 @@ def test_fused_shade_matches_xla_on_device(scene):
         a = np.asarray(frgb(accel.words, mats, o, d))
         b = np.asarray(xrgb(grid.occupancy.reshape(-1), o, d))
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_sample_kernel_fwd_exact_on_device():
+    """Round-5 field-sampling kernel: the 3-way bf16-split one-hot fetch
+    must be f32-EXACT on real silicon across the FULL grid span (the
+    mini-loop-cap bug this locks against dropped corners only for
+    spread-out tiles — random rays over the whole grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vxtpu.render.kernel_sample import (build_field_morton,
+                                            sample_fields_fwd)
+    from vxtpu.render.soft import trilinear
+
+    D = 64
+    idx = jnp.arange(D * D * D, dtype=jnp.uint32).reshape(D, D, D)
+    f0 = ((idx * jnp.uint32(2654435761)) >> 8).astype(jnp.float32) / 1e7
+    tabs = tuple(build_field_morton(f0 * (c + 1)) for c in range(4))
+    n, S = 1024, 4
+    o = jax.random.uniform(jax.random.PRNGKey(0), (n, 3)) * D
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t0 = jnp.zeros((n,))
+    dt = jax.random.uniform(jax.random.PRNGKey(2), (n,)) * 2
+    out = sample_fields_fwd(tabs, o, d, t0, dt, S, D, lit=True, window=32)
+    s_idx = jnp.arange(S) + 0.5
+    t_s = t0[None, :] + dt[None, :] * s_idx[:, None]
+    p = o[None, :, :] + t_s[..., None] * d[None, :, :]
+    for c in range(4):
+        ref = trilinear(f0 * (c + 1), p, (D, D, D))
+        assert float(jnp.max(jnp.abs(out[c] - ref))) == 0.0
+
+
+def test_sample_kernel_grads_match_scan_vjp_on_device():
+    """Field-kernel gradients == the custom-VJP scan oracle on device
+    (the contract's backward-allclose criterion at hardware precision)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vxtpu.camera.camera import Camera
+    from vxtpu.camera.rays import generate_rays
+    from vxtpu.render.kernel_sample import field_from_morton
+    from vxtpu.render.settings import RenderSettings
+    from vxtpu.render.soft import SoftGrid
+    from vxtpu.render.soft_pallas import (MortonSoftGrid,
+                                          render_soft_rays_pallas)
+    from vxtpu.render.vjp import render_soft_rays_fast
+    from vxtpu.world import procgen
+    from vxtpu.world.lights import Lights
+
+    D = 64
+    S = 16
+    settings = RenderSettings(shading="lambert")
+    lights = Lights.single((12.0, -20.0, 90.0), intensity=2.0)
+    cam = Camera.make(pos=(-45.0, 32.0, 70.0),
+                      fov_y_deg=55.0).look_at((32.0, 32.0, 18.0))
+    o, d = generate_rays(cam, 32, 32)
+    soft = SoftGrid.from_hard(procgen.terrain((D, D, D), seed=7),
+                              sigma_solid=12.0)
+    msoft = MortonSoftGrid.from_soft(soft)
+
+    gr = jax.jit(jax.grad(lambda s: jnp.sum(render_soft_rays_fast(
+        s, o, d, settings, S, lights) ** 2)))(soft)
+    gp = jax.jit(jax.grad(lambda m: jnp.sum(render_soft_rays_pallas(
+        m, o, d, settings, S, lights=lights, window=64) ** 2)))(msoft)
+    gs = field_from_morton(gp.sigma_tab, D)
+    rel = float(jnp.max(jnp.abs(gs - gr.sigma_raw))
+                / (jnp.max(jnp.abs(gr.sigma_raw)) + 1e-12))
+    assert rel < 1e-3

@@ -142,7 +142,10 @@ def compute_mask_bounds(mask, mask_df, cam, o_c, d_c, mask_scale: int = 4):
     fusing the bounds march into the train program trips a
     repeat-execution backend fault on this endpoint (the standalone
     march runs indefinitely; the fused program dies on its 3rd run —
-    see tools/probe_r4_c512.py notes)."""
+    see tools/probe_r4_c512.py notes). Jitted AT THE DEF: an eager
+    call dispatches the whole mask march op-by-op through the tunnel
+    (~seconds/step at 512^3 — this, not the mask model, was most of
+    the r4/r5 masked-step overhead; tools/analysis_masked512.md)."""
     from vxtpu.render.occmask import mask_segment_bounds
 
     o_w, d_w = _world_rays(cam, o_c, d_c)
