@@ -101,7 +101,11 @@ def main():
         lr=5e-2, steps=STEPS, num_samples=16, tv_sigma=1e-5, tv_rgb=1e-6,
         field_kernel=True, field_window=64,
         occ_mask=True, mask_scale=8, mask_refresh=60, mask_tau=0.01,
-        nan_check_every=20)
+        # hard-sync EVERY step: at 512^3 a ~20-deep async step queue
+        # reserves transient workspace per queued step and trips the
+        # endpoint's RESOURCE_EXHAUSTED fault (died at step ~46 with
+        # nan_check_every=20); the NaN guard's float() is the sync
+        nan_check_every=1)
     log = []
 
     def log_fn(i, loss):
