@@ -297,7 +297,8 @@ def cmd_train(args) -> int:
     tc = TrainConfig(steps=args.steps, num_samples=samples,
                      ray_batch=args.ray_batch, seed=cfg.seed,
                      use_custom_vjp=args.custom_vjp,
-                     occ_mask=args.occmask)
+                     occ_mask=args.occmask,
+                     field_kernel=args.field_kernel)
     start_step = 0
     soft = SoftGrid.zeros(dims)
     opt_state = None
@@ -307,7 +308,8 @@ def cmd_train(args) -> int:
                          num_samples=samples, ray_batch=args.ray_batch,
                          seed=cfg.seed + start_step,
                          use_custom_vjp=args.custom_vjp,
-                         occ_mask=args.occmask)
+                         occ_mask=args.occmask,
+                         field_kernel=args.field_kernel)
         # adam moments resume too (None for pre-opt-state checkpoints)
         opt_state = load_opt_state(args.resume, make_optimizer(tc).init(soft))
 
@@ -552,6 +554,10 @@ def main(argv=None) -> int:
                          "model; periodic mask refresh)")
     sp.add_argument("--custom-vjp", action="store_true",
                     help="render via the O(N+grid) custom-VJP fast path")
+    sp.add_argument("--field-kernel", action="store_true",
+                    help="train through the Pallas field-sampling "
+                         "gather/scatter kernels (Morton scene layout; "
+                         "~4x faster steps on TPU — render/soft_pallas)")
     sp.add_argument("--resume", default=None, help="checkpoint .npz to resume")
     sp.add_argument("--out", default="/tmp/vxtpu_fit")
     sp.set_defaults(fn=cmd_train)
