@@ -150,7 +150,7 @@ def segment():
         opt_state=opt_state)
     seg_s = time.perf_counter() - t0
     save_checkpoint(ckpt, soft, cams[0], start + len(losses), None,
-                    opt_state=opt_state)
+                    opt_state=opt_state, compress=False)
     curve["losses"].extend([round(float(l), 6) for l in losses])
     curve["segments"].append(dict(start=start, steps=len(losses),
                                   seconds=round(seg_s, 1)))

@@ -24,7 +24,8 @@ from vxtpu.render.soft import SoftGrid
 
 
 def save_checkpoint(path: str, soft: SoftGrid, cam: Camera, step: int,
-                    extra: dict | None = None, opt_state=None) -> None:
+                    extra: dict | None = None, opt_state=None,
+                    compress: bool = True) -> None:
     """Host-0-only atomic save. Arrays are gathered to host (the grid is
     replicated across the mesh, so host 0's copy is the full state).
 
@@ -52,8 +53,12 @@ def save_checkpoint(path: str, soft: SoftGrid, cam: Camera, step: int,
     if opt_state is not None:
         for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
             payload[f"o_{i:04d}"] = np.asarray(leaf)
+    # compress=False for big grids: zlib on a 512^3 scene + adam moments
+    # (~6.5 GB of f32) costs minutes of single-core CPU per save; the
+    # uncompressed write runs at disk bandwidth
+    writer = np.savez_compressed if compress else np.savez
     with open(tmp, "wb") as f:
-        np.savez_compressed(f, **payload)
+        writer(f, **payload)
     os.replace(tmp, path)
 
 
