@@ -139,8 +139,13 @@ def segment():
     soft = SoftGrid.zeros(DIMS)
     opt_state = None
     if start and os.path.exists(ckpt):
+        from vxtpu.render.soft_pallas import MortonSoftGrid
+
         soft, _, _, _ = load_checkpoint(ckpt)
-        opt_state = load_opt_state(ckpt, make_optimizer(cfg).init(soft))
+        # the field-kernel path optimizes the MORTON-layout tables, so
+        # the optimizer-state template must be Morton-shaped too
+        opt_state = load_opt_state(
+            ckpt, make_optimizer(cfg).init(MortonSoftGrid.from_soft(soft)))
 
     t0 = time.perf_counter()
     soft, losses, opt_state = fit_soft_views(

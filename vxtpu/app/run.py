@@ -310,8 +310,16 @@ def cmd_train(args) -> int:
                          use_custom_vjp=args.custom_vjp,
                          occ_mask=args.occmask,
                          field_kernel=args.field_kernel)
-        # adam moments resume too (None for pre-opt-state checkpoints)
-        opt_state = load_opt_state(args.resume, make_optimizer(tc).init(soft))
+        # adam moments resume too (None for pre-opt-state checkpoints);
+        # the field-kernel path optimizes Morton-layout tables, so its
+        # optimizer-state template must be Morton-shaped
+        if args.field_kernel:
+            from vxtpu.render.soft_pallas import MortonSoftGrid
+
+            tmpl = make_optimizer(tc).init(MortonSoftGrid.from_soft(soft))
+        else:
+            tmpl = make_optimizer(tc).init(soft)
+        opt_state = load_opt_state(args.resume, tmpl)
 
     log = lambda i, l: print(f"step {start_step + i:5d}  loss {l:.6f}")
     if args.views > 1:
