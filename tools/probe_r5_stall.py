@@ -107,5 +107,48 @@ def main():
     march_time("sublane_w128", 128, False, True)
 
 
+def stale_bases():
+    """base_every sweep: stale split-window bases trade min-sync cost for
+    extra stall rounds — parity-locked as a pure perf knob."""
+    grid = procgen.terrain(DIMS, seed=7)
+    accel = build_packed_morton(grid.occupancy, cap=64)
+    cam = Camera.make(pos=(-360.0, 256.0, 560.0),
+                      fov_y_deg=55.0).look_at((256.0, 256.0, 140.0))
+    o, d = generate_rays(cam, H, W_IMG)
+    max_steps = sum(DIMS) + 2
+
+    def t(name, be):
+        if name in RES:
+            return
+
+        @jax.jit
+        def f(words, oo, dd, dep):
+            oo = oo.at[0, 0].add(dep * 1e-12)
+            rec = march_pallas_v2(oo, dd, PackedMorton(words=words), DIMS,
+                                  max_steps, image_shape=(H, W_IMG),
+                                  window=512, block_shape=(32, 32),
+                                  split_window=True, local_advance=True,
+                                  unroll=2, base_every=be)
+            return jnp.sum(jnp.where(rec.hit, rec.t, 0.0)) * 1e-6
+
+        dep = jnp.float32(0.0)
+        t0 = time.perf_counter()
+        dep = f(accel.words, o, d, dep)
+        float(dep)
+        cs = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            dep = f(accel.words, o, d, dep)
+        float(dep)
+        dt = (time.perf_counter() - t0) / 3
+        save(name, dict(ms=round(dt * 1e3, 1), compile_s=round(cs, 1),
+                        mrays=round(H * W_IMG / dt / 1e6, 3)))
+
+    t("be1_ref", 1)
+    t("be2", 2)
+    t("be3", 3)
+
+
 if __name__ == "__main__":
     main()
+    stale_bases()

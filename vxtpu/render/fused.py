@@ -51,6 +51,7 @@ def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
               block_shape=tn.block, split_window=tn.split_window,
               split_matmul2=tn.split_matmul2,
               local_advance=tn.local_advance, fetch_v4=tn.fetch_v4,
+              base_every=tn.base_every,
               sublane_windows=tn.sublane_windows, unroll=tn.unroll,
               interpret=interpret)
     shadowed = (settings.shadows and settings.shading != "flat"

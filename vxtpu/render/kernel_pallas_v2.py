@@ -434,7 +434,8 @@ def _shade_epilogue(spec: ShadeSpec, _rows_unused, mat_ref, mwin_ref, msem,
 def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                   split_window=False, split_matmul2=False,
                   local_advance=True, resume=False, iter_budget=None,
-                  unroll=1, shade_spec=None, fetch_v4=True):
+                  unroll=1, shade_spec=None, fetch_v4=True,
+                  base_every=1):
     lookup = {True: _lookup_window_v4, False: _lookup_window,
               "v4b": _lookup_window_v4b}[fetch_v4]
     refs = list(refs)
@@ -558,6 +559,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
             fresh0,                                          # fresh (entry fetch)
             cbok0,                                           # cb valid
             jnp.int32(0),                                    # iter
+            jnp.int32(0), jnp.int32(0),                      # window bases
         )
         # stalls consume iterations without consuming step budget; every
         # iteration the min-row ray progresses, so this bound is unreachable in
@@ -574,7 +576,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
 
         def body(s):
             (vx, vy, vz, cb, dist, hit, t_hit, rax, rsg, steps, done, fresh,
-             cbok, it) = s
+             cbok, it, cb1, cb2) = s
             active = done == 0
             freshb = fresh == 1
 
@@ -694,12 +696,31 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                 # space — two half-windows cover both modes where one
                 # contiguous window of the same total size cannot.
                 Wh = W // 2
-                base1 = jnp.min(jnp.where(need_f, row, rows - 1))
-                base1 = jnp.maximum(jnp.minimum(base1, rows - Wh), 0)
+
+                def _fresh_bases(row=row, need_f=need_f):
+                    b1 = jnp.min(jnp.where(need_f, row, rows - 1))
+                    b1 = jnp.maximum(jnp.minimum(b1, rows - Wh), 0)
+                    r1_ = row - b1
+                    c1_ = (r1_ >= 0) & (r1_ < Wh)
+                    b2 = jnp.min(jnp.where(need_f & ~c1_, row, rows - 1))
+                    b2 = jnp.maximum(jnp.minimum(b2, rows - Wh), 0)
+                    return b1, b2
+
+                if base_every > 1:
+                    # STALE BASES: recompute the two scalar window bases
+                    # only every base_every-th iteration (the two
+                    # vector->scalar min syncs are a measurable slice of
+                    # the iteration); between recomputes, out-of-window
+                    # rays just stall one extra round — correctness is
+                    # unchanged (in_win masks every fetch) and
+                    # termination is still guaranteed by the recompute.
+                    base1, base2 = jax.lax.cond(
+                        it % base_every == 0, _fresh_bases,
+                        lambda: (cb1, cb2))
+                else:
+                    base1, base2 = _fresh_bases()
                 r1 = row - base1
                 cov1 = (r1 >= 0) & (r1 < Wh)
-                base2 = jnp.min(jnp.where(need_f & ~cov1, row, rows - 1))
-                base2 = jnp.maximum(jnp.minimum(base2, rows - Wh), 0)
                 r2 = row - base2
                 cov2 = (r2 >= 0) & (r2 < Wh)
                 in_win = cov1 | cov2
@@ -739,6 +760,10 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
             adv = fetch | adv_local
             upd = adv | terminate
 
+            if split_window and not sublane_windows:
+                nb1, nb2 = base1, base2
+            else:
+                nb1, nb2 = cb1, cb2
             sel = lambda c, a, b: jnp.where(c, a, b)
             return (
                 sel(adv, nvx, vx), sel(adv, nvy, vy), sel(adv, nvz, vz),
@@ -752,6 +777,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                 fresh & (~upd).astype(jnp.int32),
                 cbok | fetch.astype(jnp.int32),
                 it + 1,
+                nb1, nb2,
             )
 
         if unroll > 1:
@@ -770,7 +796,7 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
         return jax.lax.while_loop(cond, body, state)
     s = run_march(ox, oy, oz, dx, dy, dz, t_max, use_resume=resume)
     (vx, vy, vz, _, dist_f, hit, t_hit, rax, rsg, steps, done_f, fresh_f,
-     _, it) = s
+     _, it, _, _) = s
 
     hit_ref[:] = hit
     t_ref[:] = t_hit
@@ -908,6 +934,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                     split_matmul2: bool = False,
                     local_advance: bool = True,
                     fetch_v4: bool = True,
+                    base_every: int = 1,
                     shade_spec: ShadeSpec | None = None,
                     mats: jax.Array | None = None,
                     lights_arr: jax.Array | None = None,
@@ -1002,7 +1029,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
                              local_advance=local_advance,
                              resume=resume, iter_budget=iter_budget,
                              unroll=unroll, shade_spec=shade_spec,
-                             fetch_v4=fetch_v4)
+                             fetch_v4=fetch_v4, base_every=base_every)
     table_bytes = rows * 128 * accel.words.dtype.itemsize
     in_specs = [ray_spec] * len(chans) + [tbl_spec]
     inputs = list(chans) + [accel.words]
@@ -1178,7 +1205,8 @@ def make_march_pallas_v2(occ_flat, dims, settings, accel=None,
                              split_window=split_window,
                              split_matmul2=tn.split_matmul2,
                              local_advance=tn.local_advance,
-                             fetch_v4=tn.fetch_v4, unroll=unroll,
+                             fetch_v4=tn.fetch_v4,
+                             base_every=tn.base_every, unroll=unroll,
                              interpret=interpret)
 
 

@@ -41,6 +41,10 @@ class MarchTuning:
     # the march body, while the monolithic 3-D ops serialize. Parity-
     # locked equal (v4_parity: 0 mismatches on device).
     fetch_v4: bool = False
+    # recompute the split-window bases every N-th loop iteration (stale
+    # bases between recomputes: out-of-window rays stall a round instead;
+    # 1 = every iteration, the r4 behavior)
+    base_every: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
