@@ -40,7 +40,11 @@ DIMS = (512, 512, 512)
 V = 6
 H = W = 192
 S_TARGET = 48
-STEPS = 240
+# 192 steps: the first full run of this driver (preserved at git d82583b/
+# ec82d7f) showed loss at 1e-4 by step ~140 and flat after ~180; its 6.4 GB
+# checkpoint was lost to an environment reset at 144/240 steps, so the
+# committed artifact is this clean 192-step rerun
+STEPS = 192
 
 
 def _save_png(path, img):
@@ -126,6 +130,14 @@ def segment():
         with open(curve_path) as f:
             curve = json.load(f)
     start = len(curve["losses"])
+    if start and not os.path.exists(ckpt):
+        # the checkpoint is gitignored (6.4 GB); losing it (e.g. an
+        # environment reset between sessions) makes the recorded curve
+        # unresumable — fail LOUDLY instead of silently restarting from
+        # zeros and appending discontinuous losses to the artifact
+        raise SystemExit(
+            f"curve.json records {start} steps but {ckpt} is missing; "
+            "archive/delete curve.json to restart the fit from scratch")
     if start >= STEPS:
         print("fit complete", flush=True)
         return finalize(cams, targets, settings, ckpt, curve, curve_path)
