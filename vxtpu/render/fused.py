@@ -76,7 +76,12 @@ def render_rays_fused(o, d, accel, mats, dims, lights: Lights,
         lvec = lights.pos[li][None, :] - p
         dist = jnp.linalg.norm(lvec, axis=-1)
         ldir = lvec / jnp.maximum(dist, 1e-12)[..., None]
-        tm = jnp.where(rec.hit, dist - 2.0 * _SHADOW_EPS, 0.0)
+        # backfacing gate (same as the in-kernel pass): n.l <= 0 zeroes
+        # both light terms, so the shadow march's vis is never read —
+        # t_max=0 makes those rays exit at init, output unchanged
+        ndl = jnp.sum(rec.normal * ldir, axis=-1)
+        tm = jnp.where(rec.hit & (ndl > 0.0),
+                       dist - 2.0 * _SHADOW_EPS, 0.0)
         srec = march_pallas_v2(p, ldir, accel, dims, max_steps,
                                t_max=tm, **kw)
         vis_cols.append(jnp.where(srec.hit & rec.hit, 0.0, 1.0))

@@ -843,8 +843,14 @@ def _march_kernel(*refs, dims, max_steps, window, sublane_windows=False,
                 ldy = lvy / dn
                 ldz = lvz / dn
                 tm = jnp.where(hitb, ldist - 2.0 * _SHADOW_EPS, 0.0)
+                # backfacing gate: when n.l <= 0 BOTH the diffuse term
+                # (ndotl clamped to 0) and the specular term (explicit
+                # ndotl>0 factor) are zero, so vis is never read — skip
+                # the march for those rays entirely (bitwise-identical
+                # output, parity-locked in tests/test_fused_shade.py)
+                ndl = nxv * ldx + nyv * ldy + nzv * ldz
                 s2 = run_march(px, py, pz, ldx, ldy, ldz, tm,
-                               active0=hitb)
+                               active0=hitb & (ndl > 0.0))
                 shit = s2[5]
                 vis.append(jnp.where((shit == 1) & hitb, 0.0, 1.0))
                 iters_total = iters_total + s2[13]
@@ -1040,7 +1046,7 @@ def march_pallas_v2(o: jax.Array, d: jax.Array, accel: PackedMorton,
         # tables would exceed the 128 MB budget at 512^3)
         Wm = min(shade_spec.mat_window, rows)
         table_bytes += Wm * 128 * 4
-        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
                      pl.BlockSpec((8, 8), lambda i, j: (0, 0),
                                   memory_space=pltpu.SMEM)]
         inputs += [mats, lights_arr]
@@ -1261,7 +1267,7 @@ def shade_pallas_v2(rec: HitRecord, o, d, vis, mats, lights_arr,
     ray_spec = pl.BlockSpec(TILE, lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     in_specs = ([ray_spec] * len(chans)
-                + [pl.BlockSpec(memory_space=pltpu.ANY),
+                + [pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec((8, 8), lambda i, j: (0, 0),
                                 memory_space=pltpu.SMEM)])
     outs = pl.pallas_call(

@@ -356,7 +356,7 @@ def sample_fields_fwd(tabs, o, d, t0, dt, S, dim, lit=False, window=64,
     outs = pl.pallas_call(
         functools.partial(_sample_fwd_kernel, S=S, D=dim, Wn=Wn, lit=lit),
         grid=grid,
-        in_specs=[ray_spec] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[ray_spec] * 8 + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=[out_spec] * nout + [ray_spec],
         out_shape=([jax.ShapeDtypeStruct(out_raw, jnp.float32)] * nout
                    + [jax.ShapeDtypeStruct(raw_shape, jnp.int32)]),
@@ -668,7 +668,7 @@ def sample_fields_bwd(tabs, o, d, t0, dt, cots, dim, lit=False, window=64,
                             memory_space=pltpu.VMEM)
     cot_spec = pl.BlockSpec((S, 8, 128), lambda i, j: (0, i, j),
                             memory_space=pltpu.VMEM)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = ([jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in tabs]
                  + [jax.ShapeDtypeStruct(raw_shape, jnp.float32)] * 8)
     out_specs = [any_spec] * 4 + [ray_spec] * 8
